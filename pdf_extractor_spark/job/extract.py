@@ -422,6 +422,9 @@ def run_extract(
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → spans
     (OUTPUT_SCHEMA + sk_* ordering keys)."""
+    from pdf_extractor_spark.shipping import ensure_workers
+
+    ensure_workers(transcripts.sparkSession)
     parsed = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         parse_batches, PARSED_SCHEMA
     )

@@ -1,0 +1,350 @@
+"""Deduplication operators over ``documents`` — the core of a training-data
+pipeline at 100 TB scale.
+
+Four strategies, Spark-first:
+
+- exact        — md5 fingerprint groupBy (hash agg; map-side partial).
+- minhash_lsh  — shingle → K minhash signatures → banded LSH bucket join →
+  candidate pairs.  Signatures/bands are md5-based (engine-portable,
+  deterministic); the self-join runs on band buckets only, never all-pairs.
+- ngram_jaccard — inverted-index shingle join → exact Jaccard on candidate
+  pairs (pairs must share ≥1 shingle, so the join is bounded by shingle
+  collisions, not |docs|²).
+- simhash      — 32-bit sign-aggregated token hash (bit arithmetic in pure
+  JVM expressions), grouped by 8-bit bands for near-dup candidate buckets.
+
+A derived corpus (documents ∪ deterministic exact copies ∪ deterministic
+near-copies) gives the dedup operators real duplicates at every scale; the
+derivation is identical SQL/DataFrame logic on both sides.
+
+Scale notes (100 TB design): every stage is shuffle-on-key only — shingle
+explode is narrow, minhash agg is partial+final hash agg keyed by doc,
+LSH bucket join shuffles on (band_no, band_hash) whose cardinality grows
+with corpus size (no skew pileup: identical docs hash to the same bucket
+but near-dup groups are small); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.base import Q, load, rhu
+
+_N_MINHASH = 8      # K signatures
+_BAND_ROWS = 2      # rows per LSH band → 4 bands
+_SHINGLE_K = 3      # words per shingle
+
+
+# ------------------------------------------------- derived dup-bearing corpus
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") % 10 < 2)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_CORPUS_SQL = r"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 < 2
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         regexp_replace(text, '^\S+\s+', '') AS text
+  FROM documents WHERE doc_id % 10 = 3
+"""
+
+
+# ------------------------------------------------------------- exact dedup
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(text) AS fingerprint,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# -------------------------------------------------------------- shingling
+
+def _shingles(c: DataFrame) -> DataFrame:
+    """doc_id → distinct K-word shingles (narrow explode, no shuffle)."""
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    idx = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(tokens) - (_SHINGLE_K - 1), F.lit(0)),
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i, _SHINGLE_K), " ")
+    )
+    return (
+        c.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(tokens[i + 1 : i + {_SHINGLE_K}], ' ') AS shingle
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+    FROM corpus
+  ), unnest(range(greatest(len(tokens) - {_SHINGLE_K - 1}, 0))) AS u(i)
+"""
+
+
+# ----------------------------------------------------------- minhash + LSH
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    sh = _shingles(c)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
+            .alias(f"sig{k}")
+            for k in range(_N_MINHASH)
+        ]
+    )
+    n_bands = _N_MINHASH // _BAND_ROWS
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"sig{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+        one = sigs.select(
+            "doc_id",
+            F.lit(b).cast("int").alias("band_no"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{k}|' || shingle)) AS sig{k}" for k in range(_N_MINHASH)
+    )
+    n_bands = _N_MINHASH // _BAND_ROWS
+    band_rows = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"sig{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_no, md5({cols}) AS band_hash "
+            "FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingles AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+_JACCARD_THRESHOLD = 0.8
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    sh = _shingles(c)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            rhu(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                .cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return j
+
+
+_JACCARD_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+shingles AS ({_SHINGLES_SQL}),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       (floor((n_inter::DOUBLE
+               / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE) * 10000.0 + 0.5)
+        / 10000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (floor((n_inter::DOUBLE
+              / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE) * 10000.0 + 0.5)
+       / 10000.0)
+      >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 32
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    tok = c.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select("doc_id", h.alias("h"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    out = bit_sums.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    )
+    return out.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).cast("bigint").alias("band0"),
+        (F.shiftright("simhash", 8) % 256).cast("bigint").alias("band1"),
+        (F.shiftright("simhash", 16) % 256).cast("bigint").alias("band2"),
+        (F.shiftright("simhash", 24) % 256).cast("bigint").alias("band3"),
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+    FROM corpus
+  ), unnest(tokens) AS u(token)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits
+)
+SELECT doc_id, simhash,
+       (simhash % 256)::BIGINT AS band0,
+       ((simhash >> 8) % 256)::BIGINT AS band1,
+       ((simhash >> 16) % 256)::BIGINT AS band2,
+       ((simhash >> 24) % 256)::BIGINT AS band3
+FROM sh
+"""
+
+
+QUERIES: list[Q] = [
+    Q("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
+      "exact dedup via md5 hash-groupBy"),
+    Q("dedup_minhash_lsh", _dedup_minhash_lsh, _minhash_sql(),
+      "MinHash signatures + banded LSH candidate pairs"),
+    Q("dedup_ngram_jaccard", _dedup_ngram_jaccard, _JACCARD_SQL,
+      "inverted-index n-gram Jaccard near-dup pairs"),
+    Q("dedup_simhash", _dedup_simhash, _simhash_sql(),
+      "32-bit SimHash with band keys"),
+]

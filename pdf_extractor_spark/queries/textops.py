@@ -1,0 +1,390 @@
+"""String/regex scalar-function family (SURVEY.md §2.8) + text-analysis
+operators for training-data pipelines (language-ID, quality scoring, token
+counting, fingerprinting), all over the ``documents`` table.
+
+Reference parity (file:line = /root/reference/src unless noted):
+
+- sanitize_latex   ≙ T1 latex_generator.py:118-129 — the 97-entry ordered
+  unicode→LaTeX replacement chain; replacement ORDER is part of semantics,
+  so both sides apply the identical sequential chain.
+- normalize_latex  ≙ T3 evaluator.py:80-107 — order-sensitive regex chain.
+- strip_solution   ≙ T2 latex_generator.py:187-193 — anchored prefix strip.
+- ref_scan         ≙ T5 evaluator.py:53-69, 132-148 — the reference-pattern
+  regex sweep (regexp_extract_all over the published pattern set).
+- fenced_json      ≙ T6 llm_extractor.py:66-75 — fenced-JSON unwrap +
+  tolerant field extraction (from_json-null semantics).
+- lang_id / quality_score / token_count / fingerprint — the text-analysis
+  layer a 100 TB training-data pipeline runs over every document; all pure
+  JVM-side expressions (no Python in the hot path).
+
+Both engines receive the SAME expression chain; all Spark regexp_replace
+calls are global, so every DuckDB regexp_replace carries the 'g' flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.core.normalize import UNICODE_TO_LATEX
+from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql, sql_escape
+
+# deterministic unicode-math suffix appended to every doc so the sanitize
+# chain has real work at any scale
+_UNI_SAMPLE = " α ≤ β and Σ λ ∈ ℝ with ∇f ⪰ 0 → ∞"
+
+
+def _sanitize_col(col: Column) -> Column:
+    for uch, cmd in UNICODE_TO_LATEX:
+        col = F.replace(col, F.lit(uch), F.lit(cmd))
+    return col
+
+
+def _sanitize_sql_expr(expr: str) -> str:
+    for uch, cmd in UNICODE_TO_LATEX:
+        expr = f"replace({expr}, '{sql_escape(uch)}', '{sql_escape(cmd)}')"
+    return expr
+
+
+def _sanitize_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(_UNI_SAMPLE))
+    return d.select("doc_id", _sanitize_col(raw).alias("sanitized"))
+
+
+_SANITIZE_SQL = f"""
+SELECT doc_id,
+       {_sanitize_sql_expr("text || '" + sql_escape(_UNI_SAMPLE) + "'")}
+       AS sanitized
+FROM documents
+"""
+
+
+# T3 — normalize_latex chain (whitespace → brackets → operator spacing)
+_NORM_LITERALS = [
+    (r"\left(", "("), (r"\right)", ")"),
+    (r"\left[", "["), (r"\right]", "]"),
+    (r"\left\{", r"\{"), (r"\right\}", r"\}"),
+]
+
+
+def _normalize_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit(r"  x \left( a + b \right)  =  "),
+        F.col("text"),
+        F.lit(r"  -  y  "),
+    )
+    col = F.regexp_replace(F.trim(raw), r"\s+", " ")
+    for lit_from, lit_to in _NORM_LITERALS:
+        col = F.replace(col, F.lit(lit_from), F.lit(lit_to))
+    col = F.regexp_replace(col, r"\s*=\s*", "=")
+    col = F.regexp_replace(col, r"\s*\+\s*", "+")
+    col = F.regexp_replace(col, r"\s*-\s*", "-")
+    return d.select("doc_id", col.alias("normalized"))
+
+
+def _normalize_sql() -> str:
+    raw = (r"'  x \left( a + b \right)  =  ' || text || '  -  y  '")
+    expr = f"regexp_replace(trim({raw}), '\\s+', ' ', 'g')"
+    for lit_from, lit_to in _NORM_LITERALS:
+        expr = (
+            f"replace({expr}, '{sql_escape(lit_from)}', "
+            f"'{sql_escape(lit_to)}')"
+        )
+    expr = f"regexp_replace({expr}, '\\s*=\\s*', '=', 'g')"
+    expr = f"regexp_replace({expr}, '\\s*\\+\\s*', '+', 'g')"
+    expr = f"regexp_replace({expr}, '\\s*-\\s*', '-', 'g')"
+    return f"SELECT doc_id, {expr} AS normalized FROM documents"
+
+
+# T2 — anchored Solution-prefix strip
+def _strip_solution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    prefixed = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(r"\textbf{Solution.} "), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("Solution. "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    pat = r"^\s*(\\textbf\{Solution\.\}|Solution\.)\s*"
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(prefixed, pat, "")).alias("stripped"),
+    )
+
+
+_STRIP_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN '\textbf{Solution.} ' || text
+           WHEN 1 THEN 'Solution. ' || text
+           ELSE text END AS prefixed
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(prefixed,
+            '^\s*(\\textbf\{Solution\.\}|Solution\.)\s*', '')) AS stripped
+FROM p
+"""
+
+
+# T5 — reference-pattern regex sweep (the evaluator's REF_PATTERNS subset
+# that is engine-portable: RE2 ∩ Java, no lookaround/backrefs)
+_REF_ALTERNATION = (
+    r"(?:theorem\s+\d+|lemma\s+\d+|corollary\s+\d+|proposition\s+\d+"
+    r"|exercise\s+\d+\.\d+|problem\s+\d+\.\d+|equation\s+\(\d+\)"
+    r"|part\s+\([a-z]\)|section\s+\d+)"
+)
+
+
+def _ref_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    text2 = F.lower(F.concat(
+        F.col("text"),
+        F.lit(" see Theorem "), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" and equation ("), (F.col("doc_id") % 5).cast("string"),
+        F.lit(") of problem "), (F.col("doc_id") % 9).cast("string"),
+        F.lit("."), (F.col("doc_id") % 4).cast("string"),
+    ))
+    hits = F.regexp_extract_all(text2, F.lit(_REF_ALTERNATION), 0)
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_refs"),
+        F.array_join(hits, "|").alias("refs_found"),
+    )
+
+
+_REF_SCAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(text || ' see Theorem ' || (doc_id % 7)::VARCHAR
+               || ' and equation (' || (doc_id % 5)::VARCHAR
+               || ') of problem ' || (doc_id % 9)::VARCHAR
+               || '.' || (doc_id % 4)::VARCHAR) AS text2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{_REF_ALTERNATION}'))::BIGINT
+         AS n_refs,
+       array_to_string(regexp_extract_all(text2, '{_REF_ALTERNATION}'), '|')
+         AS refs_found
+FROM t
+"""
+
+
+# T6 — fenced JSON unwrap + tolerant field extraction
+def _fenced_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    fenced = F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```"))
+    inner = F.trim(
+        F.regexp_extract(fenced, r"(?s)```(?:json)?\s*(.*?)```", 1)
+    )
+    return e.select(
+        "event_id",
+        inner.alias("inner_json"),
+        F.get_json_object(inner, "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+_FENCED_SQL = r"""
+WITH f AS (
+  SELECT event_id, '```json' || chr(10) || props || chr(10) || '```' AS fenced
+  FROM events
+), x AS (
+  SELECT event_id,
+         trim(regexp_extract(fenced, '(?s)```(?:json)?\s*(.*?)```', 1))
+           AS inner_json
+  FROM f
+)
+SELECT event_id, inner_json,
+       CAST(json_extract_string(inner_json, '$.k') AS BIGINT) AS k_value
+FROM x
+"""
+
+
+# O4 — display truncation
+def _truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("preview"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text") > 120).alias("truncated"),
+    )
+
+
+_TRUNCATE_SQL = """
+SELECT doc_id, substr(text, 1, 120) AS preview,
+       length(text)::BIGINT AS n_chars_actual,
+       length(text) > 120 AS truncated
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- text analysis
+
+# marker words for the n-gram/stopword language heuristic (the synthetic
+# corpus vocabulary makes 'the'/'a' the function-word analogs)
+_EN_MARKERS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    markers = F.filter(
+        tokens, lambda t: t.isin(*_EN_MARKERS)
+    )
+    n_tok = F.size(tokens)
+    ratio = F.when(
+        n_tok > 0,
+        rhu(F.size(markers).cast("double") / n_tok.cast("double"), 4),
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        ratio.alias("marker_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+_MARKER_LIST = ", ".join(f"'{m}'" for m in _EN_MARKERS)
+
+_LANG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS tokens
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len(tokens) AS n_tokens,
+         len(list_filter(tokens, x -> x IN ({_MARKER_LIST}))) AS n_markers
+  FROM t
+)
+SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN (floor((n_markers::DOUBLE / n_tokens::DOUBLE) * 10000.0 + 0.5) / 10000.0)
+            ELSE 0.0 END AS marker_ratio,
+       CASE WHEN n_tokens > 0
+             AND (floor((n_markers::DOUBLE / n_tokens::DOUBLE) * 10000.0 + 0.5) / 10000.0) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM m
+"""
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tok = F.size(tokens).cast("double")
+    n_chars = F.length("text").cast("double")
+    mean_tok_len = F.when(
+        n_tok > 0,
+        rhu((n_chars - (n_tok - 1)) / n_tok, 4),
+    ).otherwise(0.0)
+    len_score = F.least(n_chars / 400.0, F.lit(1.0))
+    score = rhu(
+        0.5 * len_score
+        + 0.5 * F.least(mean_tok_len / 8.0, F.lit(1.0)),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, length(text)::DOUBLE AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+           AS n_tok
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_tok,
+         CASE WHEN n_tok > 0
+              THEN (floor(((n_chars - (n_tok - 1)) / n_tok) * 10000.0 + 0.5)
+                    / 10000.0)
+              ELSE 0.0 END AS mean_token_len
+  FROM t
+)
+SELECT doc_id,
+       n_tok::BIGINT   AS n_tokens,
+       n_chars::BIGINT AS n_chars,
+       mean_token_len,
+       (floor((0.5 * least(n_chars / 400.0, 1.0)
+               + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0 + 0.5)
+        / 10000.0) AS quality_score
+FROM m
+"""
+
+
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0))
+    return d.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         ::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_ISH}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", "")
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("bigint").alias("n_canon_chars"),
+    )
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+         AS fingerprint,
+       length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))::BIGINT
+         AS n_canon_chars
+FROM documents
+"""
+
+
+QUERIES: list[Q] = [
+    Q("sanitize_latex", _sanitize_latex, _SANITIZE_SQL,
+      "T1 97-entry ordered unicode→LaTeX chain"),
+    Q("normalize_latex", _normalize_latex, _normalize_sql(),
+      "T3 order-sensitive normalize chain"),
+    Q("strip_solution", _strip_solution, _STRIP_SQL,
+      "T2 anchored prefix strip"),
+    Q("ref_scan", _ref_scan, _REF_SCAN_SQL,
+      "T5 reference-pattern regex sweep"),
+    Q("fenced_json", _fenced_json, _FENCED_SQL,
+      "T6 fenced-JSON unwrap + tolerant extraction"),
+    Q("truncate_preview", _truncate, _TRUNCATE_SQL, "O4 truncation"),
+    Q("lang_id", _lang_id, _LANG_SQL,
+      "language-ID marker-ratio heuristic"),
+    Q("quality_score", _quality_score, _QUALITY_SQL,
+      "document quality scoring"),
+    Q("token_count", _token_count, _TOKEN_COUNT_SQL,
+      "whitespace + BPE-ish regex token counting"),
+    Q("fingerprint", _fingerprint, _FINGERPRINT_SQL,
+      "canonical-text md5 fingerprinting"),
+]

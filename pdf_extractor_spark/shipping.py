@@ -1,0 +1,51 @@
+"""Ship the package to executor Python workers.
+
+UDF closures (mapInPandas / pandas_udf) reference module-level functions in
+``pdf_extractor_spark``; cloudpickle serializes those by reference, so the
+worker process must be able to import the package.  When the driving
+process wasn't launched from the repo root (the harness, spark-submit from
+elsewhere), workers fail with ModuleNotFoundError.  ``ensure_workers``
+zips the package once per session and registers it via
+``SparkContext.addPyFile`` — the same mechanism as
+``spark-submit --py-files pdf_extractor_spark.zip``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SHIPPED: set[str] = set()
+
+
+def package_zip() -> str:
+    """Build (idempotently) a zip of the package importable by workers."""
+    out = os.path.join(
+        tempfile.gettempdir(), "pdf_extractor_spark_pyfiles.zip"
+    )
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "pdf_extractor_spark",
+                    os.path.relpath(full, _PKG_DIR),
+                )
+                zf.write(full, rel)
+    os.replace(tmp, out)
+    return out
+
+
+def ensure_workers(spark: SparkSession) -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    spark.sparkContext.addPyFile(package_zip())
+    _SHIPPED.add(app_id)
