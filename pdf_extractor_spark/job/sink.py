@@ -1,0 +1,157 @@
+"""Resumable, lineage-tracked batch sink.
+
+Re-expresses the reference's checkpoint protocol
+(/root/reference/checkpoint.py:22-167 — save-after-every-page with atomic
+tmp+rename, resume-skip of processed pages /root/reference/src/
+pipeline.py:172-211, delete-on-success :358-361) in Spark terms:
+
+- the unit of work is a **bucket batch**: conv_ids are hashed into
+  ``n_buckets`` buckets (crc32 — stable across runs), batches of buckets
+  are processed independently;
+- each batch writes its span output under ``data/batch=<id>/`` and then
+  appends per-bucket audit rows (lineage + metrics + content checksum)
+  under ``audit/batch=<id>/`` — the audit write is the COMMIT POINT, so
+  a kill between data and audit leaves an uncommitted batch that is
+  simply reprocessed (deterministic pipeline ⇒ overwrite is idempotent);
+- resume = read committed audit, skip committed batches (the anti-join
+  analog of the reference's start_page fast-forward);
+- a ``_COMPLETE`` marker after the last batch ≙ checkpoint
+  delete-on-success.
+
+This is the Parquet+manifest fallback of SURVEY.md §7.4.5 (no Iceberg
+runtime jar in the sandbox); the commit protocol is the same shape as an
+Iceberg snapshot-per-batch commit and lives behind these two functions so
+the writer can be swapped.
+
+At cluster scale each batch is a full Spark job over ~1/batches of the
+corpus: failure loses at most one batch of work, and the audit table
+doubles as the per-partition lineage record the north_rule requires.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.job.extract import run_extract
+
+DEFAULT_N_BUCKETS = 32
+DEFAULT_N_BATCHES = 4
+
+_SPAN_COLS = [
+    "conv_id", "turn_idx", "span_id", "question_latex", "text",
+    "turn_start", "turn_end", "kind", "n_fragments", "had_reference",
+    "sk_chapter", "sk_question", "sk_suffix",
+]
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.crc32(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def committed_batches(spark: SparkSession, out_dir: str) -> set[int]:
+    audit_dir = os.path.join(out_dir, "audit")
+    if not os.path.isdir(audit_dir):
+        return set()
+    batches = set()
+    for name in os.listdir(audit_dir):
+        if name.startswith("batch="):
+            # a batch dir is committed only if its parquet write finished
+            if os.path.exists(os.path.join(audit_dir, name, "_SUCCESS")):
+                batches.add(int(name.split("=", 1)[1]))
+    return batches
+
+
+def read_audit(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(out_dir, "audit")) \
+        .parquet(os.path.join(out_dir, "audit", "batch=*"))
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(out_dir, "data")) \
+        .parquet(os.path.join(out_dir, "data", "batch=*"))
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_batches: int = DEFAULT_N_BATCHES,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Run the extraction pipeline over ``transcripts`` with batch-level
+    checkpointing.  Returns summary {processed, skipped, complete}.
+
+    ``fail_after_batches`` injects a crash after N committed batches —
+    the test hook mirroring /root/reference/simulate_interrupt.py.
+    """
+    done = committed_batches(spark, out_dir)
+    groups: dict[int, list[int]] = {}
+    for b in range(n_buckets):
+        groups.setdefault(b % n_batches, []).append(b)
+
+    processed = 0
+    skipped = 0
+    with_bucket = transcripts.withColumn("bucket", _bucket_col(n_buckets))
+    for batch_id in sorted(groups):
+        if batch_id in done:
+            skipped += 1
+            continue
+        batch_in = with_bucket.filter(
+            F.col("bucket").isin(groups[batch_id])
+        )
+        t0 = time.time()
+        spans = run_extract(batch_in.drop("bucket"))
+        spans = spans.withColumn("bucket", _bucket_col(n_buckets))
+
+        data_path = os.path.join(out_dir, "data", f"batch={batch_id}")
+        spans.select(*_SPAN_COLS, "bucket").write.mode(
+            "overwrite"
+        ).parquet(data_path)
+
+        # per-bucket lineage + metrics, computed from the just-written
+        # files so the checksum describes exactly what was committed
+        written = spark.read.parquet(data_path)
+        audit = (
+            written.groupBy("bucket")
+            .agg(
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum("n_fragments").cast("bigint").alias("n_fragments"),
+                F.count_if(F.col("had_reference")).alias("n_referenced"),
+                F.md5(
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(
+                                F.concat_ws(
+                                    "\x1f", "conv_id", "span_id", "text"
+                                )
+                            )
+                        ),
+                        "\x1e",
+                    )
+                ).alias("content_checksum"),
+            )
+            .withColumn("wall_s", F.lit(round(time.time() - t0, 3)))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        # COMMIT POINT: audit parquet (with _SUCCESS) appears last
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "audit", f"batch={batch_id}")
+        )
+        processed += 1
+        if fail_after_batches is not None and processed >= fail_after_batches:
+            raise RuntimeError(
+                f"injected failure after {processed} batches"
+            )
+
+    complete = len(committed_batches(spark, out_dir)) == n_batches
+    if complete:
+        with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
+            f.write("ok\n")
+    return {"processed": processed, "skipped": skipped,
+            "complete": complete}
