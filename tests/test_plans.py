@@ -1,0 +1,89 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove WHAT is computed; these prove HOW — that the plans
+Catalyst produces are the ones a 100 TB deployment needs (predicate
+pushdown into the parquet scan, column pruning, broadcast for small dims,
+map-side partial aggregation). A regression that silently turns a
+broadcast join into a sort-merge join or un-pushes a filter fails here
+long before it would show up as a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _formatted_plan(spark, "part_filter")
+    assert "PushedFilters: [Or(GreaterThanOrEqual(p_size,25)" in plan
+    # projection pruned to exactly the 4 needed columns
+    assert (
+        "ReadSchema: struct<p_partkey:bigint,p_name:string,"
+        "p_size:int,p_retailprice:double>" in plan
+    )
+
+
+def test_lookup_join_broadcasts_small_side(spark):
+    plan = _formatted_plan(spark, "lookup_join")
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    # fact side reads only the join/projection columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+def test_anti_join_is_broadcast_not_sort_merge(spark):
+    plan = _formatted_plan(spark, "anti_resume")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # watermark side pruned to the key column only
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan
+
+
+def test_aggregation_has_mapside_partial(spark):
+    plan = _formatted_plan(spark, "pricing_summary")
+    # partial agg below the exchange, final above — exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange (") == 1  # tree node, once
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_date_filter_pushed_for_range_slice(spark):
+    plan = _formatted_plan(spark, "range_slice")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts," in plan
+
+
+@pytest.mark.parametrize("name", ["cosine_topk", "ann_ivf"])
+def test_similarity_queries_use_broadcast(spark, name):
+    plan = _formatted_plan(spark, name)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_extraction_pipeline_stays_in_arrow_not_row_python(spark):
+    """The only Python in the flagship plan must be Arrow-vectorized
+    (ArrowEvalPython / mapInPandas FlatMapGroups stages), never
+    row-at-a-time BatchEvalPython."""
+    from pdf_extractor_spark.job.extract import run_extract
+    from pdf_extractor_spark.queries.extraction import transcripts_df
+
+    df = run_extract(transcripts_df(spark, n_convs=3))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan
