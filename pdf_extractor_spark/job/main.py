@@ -1,0 +1,131 @@
+"""spark-submit entry point.
+
+Cluster usage (north_rule packaging):
+
+    python -c "from pdf_extractor_spark.shipping import package_zip; \\
+               print(package_zip())"   # → /tmp/pdf_extractor_spark_pyfiles.zip
+    spark-submit --py-files /tmp/pdf_extractor_spark_pyfiles.zip \\
+        pdf_extractor_spark/job/main.py extract \\
+        --input  <transcripts parquet/iceberg path> \\
+        --output <output dir> [--resume] [--buckets 256] [--batches 16]
+
+Local smoke:
+
+    python -m pdf_extractor_spark.job.main extract \\
+        --generate 50 --output /tmp/extract_out
+
+Subcommands: ``extract`` (flagship resumable pipeline), ``audit`` (print
+the lineage table of a previous run), ``bench-corpus`` (materialize a
+deterministic synthetic corpus to parquet).
+
+Replaces the reference's Typer CLI (/root/reference/src/cli.py:12-289)
+with the flag-driven, prompt-free shape a cluster job needs (SURVEY.md
+§7.5: interactive stdin prompts are hostile to spark-submit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(cores: str | None):
+    from pdf_extractor_spark.job.session import get_spark
+
+    return get_spark(app_name="pdf-extractor-spark", cores=cores)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    spark = _spark(args.cores)
+    if args.generate:
+        from pdf_extractor_spark.queries.extraction import transcripts_df
+
+        transcripts = transcripts_df(spark, n_convs=args.generate)
+    else:
+        if not args.input:
+            print("error: --input or --generate required", file=sys.stderr)
+            return 2
+        transcripts = spark.read.parquet(args.input)
+
+    from pdf_extractor_spark.job.sink import run_resumable
+
+    t0 = time.time()
+    summary = run_resumable(
+        spark,
+        transcripts,
+        args.output,
+        n_buckets=args.buckets,
+        n_batches=args.batches,
+    )
+    wall = time.time() - t0
+    n = transcripts.count()
+    print(
+        f"extract: {summary} turns={n} wall={wall:.1f}s "
+        f"tps={n / wall:.1f}"
+    )
+    return 0 if summary["complete"] else 1
+
+
+def cmd_audit(args: argparse.Namespace) -> int:
+    spark = _spark(args.cores)
+    from pdf_extractor_spark.job.sink import read_audit
+
+    read_audit(spark, args.output).orderBy("bucket").show(
+        args.limit, truncate=False
+    )
+    return 0
+
+
+def cmd_bench_corpus(args: argparse.Namespace) -> int:
+    spark = _spark(args.cores)
+    from pdf_extractor_spark.gen.transcripts import generate_transcripts
+    from pdf_extractor_spark.queries.extraction import TRANSCRIPTS_SCHEMA
+
+    pdf = generate_transcripts(
+        n_convs=args.convs, seed=args.seed, skew_conv_turns=args.skew
+    )
+    (
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+        .repartition(args.partitions)
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    print(f"bench-corpus: {len(pdf)} turns → {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf-extractor-spark")
+    p.add_argument("--cores", default=None,
+                   help="local[N] parallelism (default $SPARK_GRAFT_CPUS)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the resumable pipeline")
+    pe.add_argument("--input", help="transcripts parquet path")
+    pe.add_argument("--generate", type=int, default=0,
+                    help="generate N synthetic conversations instead")
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--buckets", type=int, default=32)
+    pe.add_argument("--batches", type=int, default=4)
+    pe.set_defaults(fn=cmd_extract)
+
+    pa = sub.add_parser("audit", help="show lineage table of a run")
+    pa.add_argument("--output", required=True)
+    pa.add_argument("--limit", type=int, default=50)
+    pa.set_defaults(fn=cmd_audit)
+
+    pb = sub.add_parser("bench-corpus", help="materialize synthetic corpus")
+    pb.add_argument("--convs", type=int, default=1500)
+    pb.add_argument("--skew", type=int, default=4000)
+    pb.add_argument("--seed", type=int, default=42)
+    pb.add_argument("--partitions", type=int, default=64)
+    pb.add_argument("--output", required=True)
+    pb.set_defaults(fn=cmd_bench_corpus)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
