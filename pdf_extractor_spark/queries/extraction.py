@@ -186,9 +186,28 @@ FROM staged
 """
 
 
+def _evaluate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.job.evaluate import evaluate_spans
+
+    return evaluate_spans(run_extract(transcripts_df(spark)))
+
+
+def _evaluate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.job.evaluate import (
+        evaluate_spans,
+        evaluation_summary,
+    )
+
+    return evaluation_summary(evaluate_spans(run_extract(transcripts_df(spark))))
+
+
 QUERIES: list[Q] = [
     Q("extract_spans", _extract_spans, None,
       "flagship transcript extraction pipeline (oracle parity in pytest)"),
+    Q("evaluate_spans", _evaluate_spans, None,
+      "per-span QAEvaluation rows (similarity via Arrow difflib UDF)"),
+    Q("evaluate_summary", _evaluate_summary, None,
+      "EvaluationReport one-row aggregate"),
     Q("extract_audit", _extract_audit, None,
       "per-conversation lineage + metrics audit rows"),
     Q("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,

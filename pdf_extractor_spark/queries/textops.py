@@ -367,7 +367,43 @@ FROM documents
 """
 
 
+# F5/F6/F7 — review-candidate selection: failed docs ∪ deterministic
+# hash sample (random.sample ≙ md5-keyed 5% — seedable and engine-portable)
+def _review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    failed = F.col("n_chars") < 150
+    sampled = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rev|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 4), 16, 10).cast("bigint") % 20 == 0
+    )
+    return (
+        d.filter(failed | sampled)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            failed.alias("is_failed"),
+            sampled.alias("is_sampled"),
+        )
+    )
+
+
+_REVIEW_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+       (n_chars < 150) AS is_failed,
+       (CAST(('0x' || substr(md5('rev|' || doc_id::VARCHAR), 1, 4)) AS BIGINT)
+        % 20 = 0) AS is_sampled
+FROM documents
+WHERE n_chars < 150
+   OR CAST(('0x' || substr(md5('rev|' || doc_id::VARCHAR), 1, 4)) AS BIGINT)
+      % 20 = 0
+"""
+
+
 QUERIES: list[Q] = [
+    Q("review_sample", _review_sample, _REVIEW_SAMPLE_SQL,
+      "F5/F6 review-candidate filter + deterministic hash sample"),
     Q("sanitize_latex", _sanitize_latex, _SANITIZE_SQL,
       "T1 97-entry ordered unicode→LaTeX chain"),
     Q("normalize_latex", _normalize_latex, _normalize_sql(),
