@@ -34,10 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdf_extractor_spark.core.normalize import (
-    UNICODE_TO_LATEX,
-    strip_solution_prefix,
-)
+from pdf_extractor_spark.core.normalize import UNICODE_TO_LATEX
 from pdf_extractor_spark.core.parse_turn import parse_turn
 from pdf_extractor_spark.core.refs import (
     CONTEXT_CLOSE,
@@ -148,11 +145,15 @@ def _link_and_stitch_blocks(parsed: DataFrame, block_size: int) -> DataFrame:
 
     # cross-block carry: last non-null qid of each block, forward-filled
     # over the (tiny) per-conversation block sequence
+    # max_by on a scalar order key keeps this a partial+final HASH
+    # aggregate — max(struct(...)) would force SortAggregate, which AQE
+    # then plans as one task (a measured 7.7s serial straggler at 1M
+    # turns).  seq is a within-turn fragment index, far below 1e6.
+    order_key = F.col("turn_idx").cast("long") * F.lit(1_000_000) + F.col("seq")
     block_last = (
         df.filter(F.col("question_id").isNotNull())
         .groupBy("conv_id", "blk")
-        .agg(F.max(F.struct("turn_idx", "seq", "question_id")).alias("m"))
-        .select("conv_id", "blk", F.col("m.question_id").alias("blk_qid"))
+        .agg(F.max_by("question_id", order_key).alias("blk_qid"))
     )
     # carry rows are needed for EVERY block present in df, not only the
     # blocks that themselves contain a qid:
@@ -316,6 +317,11 @@ def _detect_ref_udf(question: pd.Series, answer: pd.Series) -> pd.Series:
 
 
 def _resolve_references(spans: DataFrame) -> DataFrame:
+    """Bounded-fixpoint resolution, engineered so the iteration never
+    touches the full span table: the loop runs over only (a) spans that
+    HAVE a reference and (b) the lookup entries they need (semi-join
+    reduction) — at 100 TB the referenced fraction is the working set,
+    not the corpus."""
     spans = spans.withColumn(
         "ref_id", _detect_ref_udf("question_latex", "answer_latex")
     )
@@ -326,29 +332,58 @@ def _resolve_references(spans: DataFrame) -> DataFrame:
     )
     spans = spans.withColumn(
         "is_rep", F.row_number().over(w) == 1
-    ).withColumn("resolved", F.col("answer_latex"))
+    ).localCheckpoint(eager=False)
+
+    with_ref = spans.filter(F.col("ref_id").isNotNull()).withColumn(
+        "resolved", F.col("answer_latex")
+    )
+    # lookup working set: only reps whose span_id is actually referenced
+    needed = with_ref.select(
+        F.col("conv_id").alias("l_conv"), F.col("ref_id").alias("l_sid")
+    ).distinct()
+    static_lookup = (
+        spans.filter("is_rep")
+        .select(
+            F.col("conv_id").alias("l_conv"),
+            F.col("span_id").alias("l_sid"),
+            F.col("answer_latex").alias("l_base"),
+            F.col("ref_id").alias("l_ref"),
+        )
+        .join(needed, ["l_conv", "l_sid"], "left_semi")
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(MAX_DEPTH):
-        lookup = (
-            spans.filter("is_rep")
+        # lookup value = target's CURRENT resolved text: evolves only for
+        # targets that themselves hold a reference (chains)
+        dyn = (
+            with_ref.filter("is_rep")
             .select(
                 F.col("conv_id").alias("l_conv"),
                 F.col("span_id").alias("l_sid"),
                 F.col("resolved").alias("l_resolved"),
             )
         )
-        spans = (
-            spans.join(
+        lookup = (
+            static_lookup.join(dyn, ["l_conv", "l_sid"], "left")
+            .select(
+                "l_conv", "l_sid",
+                F.when(
+                    F.col("l_ref").isNotNull(), F.col("l_resolved")
+                ).otherwise(F.col("l_base")).alias("l_resolved"),
+            )
+        )
+        with_ref = (
+            with_ref.join(
                 lookup,
-                (spans["conv_id"] == lookup["l_conv"])
-                & (spans["ref_id"] == lookup["l_sid"]),
+                (with_ref["conv_id"] == lookup["l_conv"])
+                & (with_ref["ref_id"] == lookup["l_sid"]),
                 "left",
             )
             .withColumn(
                 "resolved",
                 F.when(
-                    F.col("ref_id").isNotNull()
-                    & (F.col("ref_id") != F.col("span_id"))
+                    (F.col("ref_id") != F.col("span_id"))
                     & F.col("l_resolved").isNotNull(),
                     F.concat(
                         F.col("answer_latex"),
@@ -359,17 +394,25 @@ def _resolve_references(spans: DataFrame) -> DataFrame:
             )
             .drop("l_conv", "l_sid", "l_resolved")
         )
-        spans = spans.localCheckpoint(eager=False)
-    return spans
+        with_ref = with_ref.localCheckpoint(eager=False)
+
+    no_ref = spans.filter(F.col("ref_id").isNull()).withColumn(
+        "resolved", F.col("answer_latex")
+    )
+    return no_ref.unionByName(with_ref)
 
 
 # --------------------------------------------------------------------------
 # Stage 4 — sink normalization + ordering keys
 # --------------------------------------------------------------------------
 
-@F.pandas_udf(T.StringType())
-def _strip_prefix_udf(answer: pd.Series) -> pd.Series:
-    return answer.map(lambda a: strip_solution_prefix(a) if a is not None else a)
+def _strip_prefix_col(col: Column) -> Column:
+    """JVM-side strip_solution_prefix (latex_generator.py:187-193 parity:
+    strip → drop one leading Solution marker → strip), as two anchored
+    regexes so no Python pass runs in the sink path.  Byte-equality with
+    the core function is pinned by the oracle tests."""
+    lead = r"^\s*(?:\\textbf\{Solution\.\}|Solution\.)?\s*"
+    return F.regexp_replace(F.regexp_replace(col, lead, ""), r"\s+$", "")
 
 
 def _finalize(spans: DataFrame) -> DataFrame:
@@ -378,7 +421,7 @@ def _finalize(spans: DataFrame) -> DataFrame:
         F.col("turn_idx").cast("int").alias("turn_idx"),
         "span_id",
         "question_latex",
-        _strip_prefix_udf("resolved").alias("text"),
+        _strip_prefix_col(F.col("resolved")).alias("text"),
         F.col("turn_start").cast("int").alias("turn_start"),
         F.col("turn_end").cast("int").alias("turn_end"),
         "kind",
@@ -428,7 +471,17 @@ def run_extract(
     parsed = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         parse_batches, PARSED_SCHEMA
     )
+    # the stitch consumes `parsed` through THREE exchanges (window,
+    # block-last agg, block set); without materialization each branch
+    # re-runs the parse — measured as 3× the most expensive stage.
+    # Eager so AQE's concurrent stage-materialization jobs can't race
+    # into duplicate computes.
+    parsed = parsed.localCheckpoint(eager=True)
     spans = _link_and_stitch_blocks(parsed, block_size)
+    # edge-merge and the resolution loop each consume their input from two
+    # branches (filter split / self-join); truncate lineage first so the
+    # parse+stitch stages run exactly once instead of once per branch
+    spans = spans.localCheckpoint(eager=False)
     spans = _merge_block_edges(spans, block_size)
     spans = _resolve_references(spans)
     out = _finalize(spans)
