@@ -48,12 +48,11 @@ HEADLINE = [
     "multimodal_decode",    # Arrow-batch decode plumbing
 ]
 
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1500"))
-BENCH_SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW", "4000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+BENCH_SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW", "8000"))
 
 
 def main() -> None:
-    from pdf_extractor_spark.gen.transcripts import generate_transcripts
     from pdf_extractor_spark.job.session import get_spark
     from pdf_extractor_spark.queries import QUERIES
 
@@ -79,14 +78,13 @@ def main() -> None:
     )
     marker = os.path.join(corpus_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        pdf = generate_transcripts(
-            n_convs=BENCH_CONVS, seed=42, skew_conv_turns=BENCH_SKEW_TURNS
-        )
-        from pdf_extractor_spark.queries.extraction import TRANSCRIPTS_SCHEMA
+        from pdf_extractor_spark.gen.distributed import generate_corpus_df
 
         (
-            spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
-            .repartition(64)
+            generate_corpus_df(
+                spark, BENCH_CONVS, seed=42,
+                skew_conv_turns=BENCH_SKEW_TURNS, partitions=64,
+            )
             .write.mode("overwrite")
             .parquet(corpus_dir)
         )
@@ -107,14 +105,21 @@ def main() -> None:
     }
     spark.stop()
 
-    # ---- N vs 4N scaling (fresh JVM per level) -------------------------
+    # ---- N vs 4N scaling (fresh JVM per level, CPU-pinned like a
+    # cgroup-limited cluster container so local[N] really gets N cores) --
     scaling = {}
     if os.environ.get("SPARK_GRAFT_NO_SCALING") != "1":
+        import shutil
+
         worker = os.path.join(REPO, "scripts", "bench_extract_worker.py")
+        have_taskset = shutil.which("taskset") is not None
         results = {}
         for cores in (8, 32):
+            cmd = [sys.executable, worker, str(cores), corpus_dir]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
-                [sys.executable, worker, str(cores), corpus_dir],
+                cmd,
                 capture_output=True, text=True, timeout=1800,
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""

@@ -316,6 +316,43 @@ def _detect_ref_udf(question: pd.Series, answer: pd.Series) -> pd.Series:
     )
 
 
+# JVM form of core.refs.detect_ref (REF_ID_PATTERNS, refs.py): both
+# patterns end with the id capture group at a zero-width boundary, so the
+# group-1 start = match start + len(group 0) - len(group 1); comparing
+# those positions reproduces the reference's min-over-patterns-by-group-
+# start rule exactly (ties keep pattern 1 ≙ the strict `<` in detect_ref).
+# Equivalence with the Python core is pinned by tests/test_job_extract.py
+# (full-output equality) and test_jvm_detect_parity.
+_JVM_REF_P1 = (
+    r"(?i)(?:using|from|by|see|as in)\s+"
+    r"(?:the result of |the result from |problem |question |exercise "
+    r"|part )?"
+    r"(\d+\.\d+[a-z]?)\b"
+)
+_JVM_REF_P2 = r"(?i)\b(?:problem|question|exercise)\s+(\d+\.\d+[a-z]?)\b"
+
+
+def _detect_ref_col(question: Column, answer: Column) -> Column:
+    text = F.concat(question, F.lit(" "), answer)
+
+    def gpos_and_id(pat: str):
+        mpos = F.regexp_instr(text, F.lit(pat))
+        g0 = F.regexp_extract(text, pat, 0)
+        g1 = F.regexp_extract(text, pat, 1)
+        gpos = F.when(
+            mpos > 0, mpos + F.length(g0) - F.length(g1)
+        ).otherwise(F.lit(None).cast("int"))
+        return gpos, g1
+
+    gp1, id1 = gpos_and_id(_JVM_REF_P1)
+    gp2, id2 = gpos_and_id(_JVM_REF_P2)
+    return (
+        F.when(gp1.isNotNull() & (gp2.isNull() | (gp1 <= gp2)), id1)
+        .when(gp2.isNotNull(), id2)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def _resolve_references(spans: DataFrame) -> DataFrame:
     """Bounded-fixpoint resolution, engineered so the iteration never
     touches the full span table: the loop runs over only (a) spans that
@@ -323,7 +360,8 @@ def _resolve_references(spans: DataFrame) -> DataFrame:
     reduction) — at 100 TB the referenced fraction is the working set,
     not the corpus."""
     spans = spans.withColumn(
-        "ref_id", _detect_ref_udf("question_latex", "answer_latex")
+        "ref_id",
+        _detect_ref_col(F.col("question_latex"), F.col("answer_latex")),
     )
     # document-order last-wins representative per (conv, span_id) — the
     # rank is structural, so compute it once
