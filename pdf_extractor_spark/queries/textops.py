@@ -367,6 +367,106 @@ FROM documents
 """
 
 
+# T11 — base64 payload envelope round-trip (≙ the embedded PDF-stream
+# transport, core/parse_turn.py [PDF-STREAM] framing; models/anthropic.py
+# :23-34 wire encoding)
+def _base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Spark MIME-chunks base64 output with CRLF every 76 chars; strip to
+    # the canonical unwrapped form DuckDB produces
+    payload = F.regexp_replace(
+        F.base64(F.encode("text", "UTF-8")), "[\r\n]", ""
+    )
+    framed = F.concat(
+        F.lit("[PDF-STREAM v1]\n"), payload, F.lit("\n[/PDF-STREAM]")
+    )
+    inner = F.regexp_extract(
+        framed, r"(?s)\[PDF-STREAM v1\]\s*(.*?)\s*\[/PDF-STREAM\]", 1
+    )
+    decoded = F.decode(F.unbase64(inner), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(framed).cast("bigint").alias("framed_len"),
+        (decoded == F.col("text")).alias("roundtrip_ok"),
+        F.md5(decoded).alias("decoded_hash"),
+    )
+
+
+_BASE64_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         '[PDF-STREAM v1]' || chr(10) || to_base64(encode(text))
+           || chr(10) || '[/PDF-STREAM]' AS framed
+  FROM documents
+), x AS (
+  SELECT doc_id, text, framed,
+         regexp_extract(framed,
+            '(?s)\[PDF-STREAM v1\]\s*(.*?)\s*\[/PDF-STREAM\]', 1) AS inner_b64
+  FROM f
+)
+SELECT doc_id,
+       length(framed)::BIGINT AS framed_len,
+       (decode(from_base64(inner_b64)) = text) AS roundtrip_ok,
+       md5(decode(from_base64(inner_b64))) AS decoded_hash
+FROM x
+"""
+
+
+# S8/S13 — JSON sink/source round-trip: struct → to_json → from_json with
+# tolerant-null semantics (llm_extractor.py:103-106 degrade path)
+def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # integer cents, not a double: Java and DuckDB format small doubles
+    # differently inside JSON (1.0E-4 vs 0.0001)
+    doc = F.to_json(F.struct(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("type"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    ))
+    # corrupt every 10th payload → from_json must null, not raise
+    # (corruption leads the string: Spark's PERMISSIVE parser tolerates
+    # trailing garbage but not a broken head)
+    corrupted = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("{broken "), doc)
+    ).otherwise(doc)
+    parsed = F.from_json(
+        corrupted, "struct<id:bigint,type:string,value:double>"
+    )
+    return e.select(
+        "event_id",
+        corrupted.alias("json_doc"),
+        parsed["id"].alias("parsed_id"),
+        parsed["type"].alias("parsed_type"),
+        parsed["id"].isNull().alias("degraded"),
+    )
+
+
+_JSON_ROUNDTRIP_SQL = r"""
+WITH j AS (
+  SELECT event_id,
+         '{"id":' || event_id::VARCHAR
+           || ',"type":"' || event_type
+           || '","value_cents":' || CAST(round(value * 100) AS BIGINT)::VARCHAR
+           || '}' AS doc
+  FROM events
+), c AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN '{broken ' || doc ELSE doc END
+           AS json_doc
+  FROM j
+)
+SELECT event_id, json_doc,
+       CASE WHEN json_valid(json_doc)
+            THEN CAST(json_extract_string(json_doc, '$.id') AS BIGINT)
+       END AS parsed_id,
+       CASE WHEN json_valid(json_doc)
+            THEN json_extract_string(json_doc, '$.type')
+       END AS parsed_type,
+       NOT json_valid(json_doc) AS degraded
+FROM c
+"""
+
+
 # F5/F6/F7 — review-candidate selection: failed docs ∪ deterministic
 # hash sample (random.sample ≙ md5-keyed 5% — seedable and engine-portable)
 def _review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +502,10 @@ WHERE n_chars < 150
 
 
 QUERIES: list[Q] = [
+    Q("base64_roundtrip", _base64_roundtrip, _BASE64_SQL,
+      "T11 base64 PDF-stream envelope encode/extract/decode"),
+    Q("json_roundtrip", _json_roundtrip, _JSON_ROUNDTRIP_SQL,
+      "S8/S13 JSON sink/source round-trip with tolerant degrade"),
     Q("review_sample", _review_sample, _REVIEW_SAMPLE_SQL,
       "F5/F6 review-candidate filter + deterministic hash sample"),
     Q("sanitize_latex", _sanitize_latex, _SANITIZE_SQL,
