@@ -198,7 +198,73 @@ FROM per GROUP BY label
 """
 
 
+_NEAR_DUP_THRESHOLD = 0.95
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Corpus = embeddings ∪ jittered
+    copies of every 10th vector (deterministic near-dups so the operator
+    has real work at every scale); exact pairwise on label-blocked
+    candidates (same-label blocking ≙ the coarse-quantizer cell
+    restriction of the IVF path — at 100 TB the blocking key is the IVF
+    cell, bounding the pair join)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    jitter = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(jitter)
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
+    scored = _with_cosine(pairs, "emb_a", "emb_b")
+    return scored.filter(
+        F.col("score") >= _NEAR_DUP_THRESHOLD
+    ).select("id_a", "id_b", "score")
+
+
+_DEDUP_COSINE_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           (SELECT sum(CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE))
+            FROM unnest(range(1, len(a.embedding) + 1)) AS u(i))
+           / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE)
+                               * CAST(a.embedding[i] AS DOUBLE))
+                    FROM unnest(range(1, len(a.embedding) + 1)) AS u(i)))
+              * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE)
+                                 * CAST(b.embedding[i] AS DOUBLE))
+                      FROM unnest(range(1, len(b.embedding) + 1)) AS u(i)))),
+           4) AS score
+  FROM corpus a JOIN corpus b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM pairs
+WHERE score >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
 QUERIES: list[Q] = [
+    Q("dedup_embedding_cosine", _dedup_embedding_cosine, _DEDUP_COSINE_SQL,
+      "embedding-cosine near-dup pairs (label-blocked exact)"),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),
     Q("ann_ivf", _ann_ivf, None,
