@@ -69,7 +69,10 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("had_reference", T.BooleanType()),
 ])
 
-DEFAULT_BLOCK_SIZE = 65536
+# conversations shorter than the block are untouched by this knob; longer
+# ones split into parallel block tasks + a cheap edge merge.  8192 beat
+# 65536 by ~30% on a 118k-turn mega-conversation (BENCH.md skew notes).
+DEFAULT_BLOCK_SIZE = 8192
 
 
 # --------------------------------------------------------------------------
