@@ -453,7 +453,85 @@ SELECT event_type, count(*) AS n_unique FROM u GROUP BY event_type
 """
 
 
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join + agg (TPC-H Q5 shape): Catalyst picks broadcast
+    for the dimension chain, shuffle only on the fact side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems,
+       count(DISTINCT o_custkey) AS n_customers
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join + per-group ranking window → top-3 per market segment."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_name",
+                "total_spend")
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey, c_name,
+         round(sum(o_totalprice), 2) AS total_spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey, c_name
+)
+SELECT c_mktsegment, rank, c_custkey, c_name, total_spend FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY total_spend DESC, c_custkey ASC) AS rank
+  FROM spend
+) WHERE rank <= 3
+"""
+
+
 QUERIES: list[Q] = [
+    Q("revenue_by_nation", _revenue_by_nation, _REVENUE_SQL,
+      "4-way star join + distinct agg (TPC-H Q5 shape)"),
+    Q("top_customers_by_segment", _top_customers_by_segment,
+      _TOP_CUSTOMERS_SQL, "join + per-group top-3 ranking window"),
     Q("pricing_summary", _pricing_summary, _PRICING_SQL,
       "A1-A3 conditional hash aggregation (TPC-H Q1 shape)"),
     Q("priority_counts", _priority_counts, _PRIORITY_SQL,
