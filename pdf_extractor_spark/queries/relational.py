@@ -527,7 +527,65 @@ SELECT c_mktsegment, rank, c_custkey, c_name, total_spend FROM (
 """
 
 
+def _event_minute_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch form (the streaming twin lives
+    in streaming/ingest.py stream_turn_metrics)."""
+    e = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "1 minute")
+    return (
+        e.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT epoch_us(date_trunc('minute', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY date_trunc('minute', ts), event_type
+"""
+
+
+def _suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim-chain join covering the remaining catalog tables."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+_SUPPLIERS_SQL = """
+SELECT r_name, count(*) AS n_suppliers,
+       count(DISTINCT n_name) AS n_nations
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES: list[Q] = [
+    Q("event_minute_windows", _event_minute_windows, _EVENT_WINDOWS_SQL,
+      "tumbling-window aggregation (batch twin of the metrics stream)"),
+    Q("suppliers_per_region", _suppliers_per_region, _SUPPLIERS_SQL,
+      "dimension-chain join over supplier/nation/region"),
     Q("revenue_by_nation", _revenue_by_nation, _REVENUE_SQL,
       "4-way star join + distinct agg (TPC-H Q5 shape)"),
     Q("top_customers_by_segment", _top_customers_by_segment,
