@@ -88,3 +88,33 @@ def test_output_schema_stable(spark, corpus):
     names = [f.name for f in out.schema.fields]
     assert names[: len(OUTPUT_COLUMNS)] == OUTPUT_COLUMNS
     assert {"sk_chapter", "sk_question", "sk_suffix"} <= set(names)
+
+
+def test_null_and_empty_text_rows_are_tolerated(spark):
+    """Real corpora carry null/empty payload rows; the job must skip
+    them, not crash, and match the oracle doing the same."""
+    import pandas as pd
+    from pdf_extractor_spark.queries.extraction import TRANSCRIPTS_SCHEMA
+
+    tdf = generate_transcripts(4, seed=23)
+    dirty = pd.concat([
+        tdf,
+        pd.DataFrame([
+            {"conv_id": "c00000", "turn_idx": 9000, "role": "assistant",
+             "text": None, "tool": "", "ts": tdf["ts"].iloc[0]},
+            {"conv_id": "c00001", "turn_idx": 9001, "role": "assistant",
+             "text": "", "tool": "", "ts": tdf["ts"].iloc[0]},
+        ]),
+    ], ignore_index=True)
+    dirty["turn_idx"] = dirty["turn_idx"].astype("int32")
+
+    oracle = pd.DataFrame(
+        extract_table(
+            r for r in dirty.to_dict("records") if r["text"]
+        ),
+        columns=OUTPUT_COLUMNS,
+    )
+    out = run_extract(
+        spark.createDataFrame(dirty, schema=TRANSCRIPTS_SCHEMA)
+    ).toPandas()
+    _assert_equal(out, oracle)
