@@ -139,19 +139,32 @@ def main() -> None:
         # see BENCH.md for the full protocol + an 8→32 datapoint.
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         results = {}
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         for cores in (n_cores, 4 * n_cores):
             cmd = [sys.executable, worker, str(cores), scale_corpus]
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            proc = subprocess.run(
-                cmd,
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-            try:
-                results[cores] = json.loads(line)
-            except json.JSONDecodeError:
-                results[cores] = {"error": proc.stderr[-500:]}
+            best = None
+            for _ in range(reps):
+                proc = subprocess.run(
+                    cmd,
+                    capture_output=True, text=True, timeout=1800,
+                )
+                line = (
+                    proc.stdout.strip().splitlines()[-1]
+                    if proc.stdout else ""
+                )
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    r = {"error": proc.stderr[-500:]}
+                # best-of-N: this shared VM shows ±20% ambient variance;
+                # min wall is the honest steady-state estimate
+                if "tps" in r and (best is None or r["tps"] > best["tps"]):
+                    best = r
+                elif best is None:
+                    best = r
+            results[cores] = best
         if all("tps" in results.get(c, {}) for c in (n_cores, 4 * n_cores)):
             tn, t4n = results[n_cores]["tps"], results[4 * n_cores]["tps"]
             scaling = {
