@@ -106,8 +106,8 @@ def main() -> None:
     }
     # ---- dedicated scaling corpus (bigger: the efficiency criterion is
     # about the compute-dominant regime a real cluster job runs in) ------
-    SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "80000"))
-    SCALE_SKEW = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "16000"))
+    SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "120000"))
+    SCALE_SKEW = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "20000"))
     scale_corpus = os.path.join(
         tempfile.gettempdir(),
         f"scale_corpus_{SCALE_CONVS}_{SCALE_SKEW}",

@@ -28,7 +28,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName(f"bench-extract-{cores}")
         .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
