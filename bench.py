@@ -140,31 +140,37 @@ def main() -> None:
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         results = {}
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-        for cores in (n_cores, 4 * n_cores):
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
+        t_scaling = time.time()
+
+        def run_level(cores: int):
             cmd = [sys.executable, worker, str(cores), scale_corpus]
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            best = None
-            for _ in range(reps):
-                proc = subprocess.run(
-                    cmd,
-                    capture_output=True, text=True, timeout=1800,
-                )
-                line = (
-                    proc.stdout.strip().splitlines()[-1]
-                    if proc.stdout else ""
-                )
-                try:
-                    r = json.loads(line)
-                except json.JSONDecodeError:
-                    r = {"error": proc.stderr[-500:]}
-                # best-of-N: this shared VM shows ±20% ambient variance;
-                # min wall is the honest steady-state estimate
-                if "tps" in r and (best is None or r["tps"] > best["tps"]):
-                    best = r
-                elif best is None:
-                    best = r
-            results[cores] = best
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800,
+            )
+            line = (
+                proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+            )
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return {"error": proc.stderr[-500:]}
+
+        # best-of-N within a wall budget: this shared VM shows ±20%
+        # ambient variance; best tps is the honest steady-state estimate
+        for rep in range(reps):
+            if rep > 0 and time.time() - t_scaling > budget_s:
+                break
+            for cores in (n_cores, 4 * n_cores):
+                r = run_level(cores)
+                cur = results.get(cores)
+                if "tps" in r and (cur is None or "tps" not in cur
+                                   or r["tps"] > cur["tps"]):
+                    results[cores] = r
+                elif cur is None:
+                    results[cores] = r
         if all("tps" in results.get(c, {}) for c in (n_cores, 4 * n_cores)):
             tn, t4n = results[n_cores]["tps"], results[4 * n_cores]["tps"]
             scaling = {
