@@ -147,14 +147,21 @@ def main() -> None:
             cmd = [sys.executable, worker, str(cores), scale_corpus]
             if have_taskset:
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1800,
-            )
-            line = (
-                proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-            )
+            # per-call cap = remaining budget (plus slack for the run in
+            # flight); a hung worker must cost one level, not the bench
+            remaining = max(120.0, budget_s - (time.time() - t_scaling))
             try:
-                return json.loads(line)
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=remaining + 300,
+                )
+            except subprocess.TimeoutExpired:
+                return {"error": f"worker timeout at {cores} cores"}
+            lines = (proc.stdout or "").strip().splitlines()
+            if not lines:
+                return {"error": (proc.stderr or "no output")[-500:]}
+            try:
+                return json.loads(lines[-1])
             except json.JSONDecodeError:
                 return {"error": proc.stderr[-500:]}
 
