@@ -250,7 +250,7 @@ WITH t AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM b
 )
-SELECT user_id, session_no,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        count(*)       AS n_events,
        min(event_id)  AS first_event,
        max(event_id)  AS last_event,

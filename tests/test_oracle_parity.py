@@ -54,18 +54,79 @@ def _canon_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _arrow_type_token(t) -> str:
+    """Canonical token for a pyarrow type (DuckDB result side)."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "hugeint"  # DuckDB sum(int) lands here — must be cast
+    if pa.types.is_integer(t):
+        return "int"  # driver hash is width-insensitive (r1: rank i32 vs i64 passed)
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_type_token(t.value_type)}>"
+    return str(t)
+
+
+def _spark_type_token(t) -> str:
+    """Canonical token for a Spark SQL type, aligned with _arrow_type_token."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(t, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.BinaryType):
+        return "bin"
+    if isinstance(t, T.DecimalType):
+        return "hugeint"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_spark_type_token(t.elementType)}>"
+    return t.simpleString()
+
+
 @pytest.mark.parametrize("q", SQL_CHECKED, ids=lambda q: q.name)
 def test_query_matches_oracle(q, spark, oracle):
     sdf = q.fn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    res = oracle.execute(q.sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    d_arrow = oracle.execute(q.sql).arrow()
+    d_cols = d_arrow.schema.names
+    d_rows = [tuple(r.values()) for r in d_arrow.to_pylist()]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{q.name}: column mismatch {s_cols} vs {d_cols}"
+    )
+    # Driver hashes TYPED values: an int64 Spark column vs a HUGEINT
+    # oracle column hash-mismatches even when every value is equal
+    # (the round-1 `sessionize` red cell). Pin type parity here.
+    s_types = {f.name: _spark_type_token(f.dataType) for f in sdf.schema.fields}
+    d_types = {
+        n: _arrow_type_token(d_arrow.schema.field(n).type) for n in d_cols
+    }
+    assert s_types == d_types, (
+        f"{q.name}: type mismatch (driver hash is type-sensitive)\n"
+        f" spark:  {s_types}\n oracle: {d_types}"
     )
     assert len(s_rows) == len(d_rows), (
         f"{q.name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
