@@ -88,7 +88,13 @@ def segment_fast(html_text: str) -> list[_Block] | None:
                 not closing and piece.endswith("/>") and tag not in _VOID
             )
             if not closing and tag in _RAWTEXT and not self_closing:
-                raw_until = f"</{re.escape(tag)}"
+                # stdlib HTMLParser leaves CDATA at '</\s*tag' — '</ script>'
+                # ends the rawtext there.  Matching only the literal
+                # '</script' would skip past it and silently drop content,
+                # breaking the never-change-output contract; with '\s*' the
+                # subsequent _TAG match on '</ script>' fails and we decline
+                # to stdlib instead.
+                raw_until = rf"</\s*{re.escape(tag)}"
             if tag in DROP_TAGS:
                 if closing:
                     drop_depth = max(0, drop_depth - 1)

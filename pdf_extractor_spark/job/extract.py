@@ -327,12 +327,12 @@ def _detect_ref_udf(question: pd.Series, answer: pd.Series) -> pd.Series:
 # Equivalence with the Python core is pinned by tests/test_job_extract.py
 # (full-output equality) and test_jvm_detect_parity.
 _JVM_REF_P1 = (
-    r"(?i)(?:using|from|by|see|as in)\s+"
+    r"(?iU)(?:using|from|by|see|as in)\s+"
     r"(?:the result of |the result from |problem |question |exercise "
     r"|part )?"
     r"(\d+\.\d+[a-z]?)\b"
 )
-_JVM_REF_P2 = r"(?i)\b(?:problem|question|exercise)\s+(\d+\.\d+[a-z]?)\b"
+_JVM_REF_P2 = r"(?iU)\b(?:problem|question|exercise)\s+(\d+\.\d+[a-z]?)\b"
 
 
 def _detect_ref_col(question: Column, answer: Column) -> Column:
@@ -452,8 +452,11 @@ def _strip_prefix_col(col: Column) -> Column:
     strip → drop one leading Solution marker → strip), as two anchored
     regexes so no Python pass runs in the sink path.  Byte-equality with
     the core function is pinned by the oracle tests."""
-    lead = r"^\s*(?:\\textbf\{Solution\.\}|Solution\.)?\s*"
-    return F.regexp_replace(F.regexp_replace(col, lead, ""), r"\s+$", "")
+    # (?U): Java \s is ASCII-only by default, but the core Python
+    # strip()/\s are Unicode-aware — '\xa0Solution. foo' must strip on
+    # both sides or the per-turn equality contract forks on real text.
+    lead = r"(?U)^\s*(?:\\textbf\{Solution\.\}|Solution\.)?\s*"
+    return F.regexp_replace(F.regexp_replace(col, lead, ""), r"(?U)\s+$", "")
 
 
 def _finalize(spans: DataFrame) -> DataFrame:

@@ -36,6 +36,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extractor_spark.queries.base import xor_checksum
+
 from pdf_extractor_spark.job.extract import run_extract
 
 DEFAULT_N_BUCKETS = 32
@@ -123,17 +125,8 @@ def run_resumable(
                 F.count(F.lit(1)).alias("n_spans"),
                 F.sum("n_fragments").cast("bigint").alias("n_fragments"),
                 F.count_if(F.col("had_reference")).alias("n_referenced"),
-                F.md5(
-                    F.array_join(
-                        F.array_sort(
-                            F.collect_list(
-                                F.concat_ws(
-                                    "\x1f", "conv_id", "span_id", "text"
-                                )
-                            )
-                        ),
-                        "\x1e",
-                    )
+                xor_checksum(
+                    "conv_id", "span_id", "text"
                 ).alias("content_checksum"),
             )
             .withColumn("wall_s", F.lit(round(time.time() - t0, 3)))

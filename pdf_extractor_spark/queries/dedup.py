@@ -94,10 +94,13 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 def _shingles(c: DataFrame) -> DataFrame:
     """doc_id → distinct K-word shingles (narrow explode, no shuffle)."""
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
-    idx = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(tokens) - (_SHINGLE_K - 1), F.lit(0)),
-    )
+    # sequence(1, 0) yields a DESCENDING [1, 0] (step defaults to -1 when
+    # start > stop), so slice(tokens, 0, K) would throw on docs with fewer
+    # than K tokens — guard to an empty index array instead.
+    idx = F.when(
+        F.size(tokens) >= _SHINGLE_K,
+        F.sequence(F.lit(1), F.size(tokens) - (_SHINGLE_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(tokens, i, _SHINGLE_K), " ")
     )
@@ -107,22 +110,47 @@ def _shingles(c: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str = "corpus") -> str:
+    return f"""
   SELECT DISTINCT doc_id,
          array_to_string(tokens[i + 1 : i + {_SHINGLE_K}], ' ') AS shingle
   FROM (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS tokens
-    FROM corpus
+    FROM {src}
   ), unnest(range(greatest(len(tokens) - {_SHINGLE_K - 1}, 0))) AS u(i)
 """
 
 
+_SHINGLES_SQL = _shingles_sql("corpus")
+
+
 # ----------------------------------------------------------- minhash + LSH
 
-def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    sh = _shingles(c)
+def _minhash_pairs(c: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs for a (doc_id, text) corpus.
+
+    Scale-critical pre-step: identical documents share EVERY band, so a
+    group of k exact copies would emit O(k²) LSH pairs from every band
+    bucket.  Exact duplicates are resolved first with a hash-agg (pair
+    each copy with the group's min doc_id — O(k) rows), and only one
+    representative per distinct text enters the LSH join.  Pair counts
+    then grow with the number of *distinct* near-dup docs, not copies.
+    """
+    fp = c.select("doc_id", F.md5("text").alias("fingerprint"))
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep_id"))
+    exact_pairs = (
+        fp.join(reps, "fingerprint")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    rep_corpus = c.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
+    )
+    sh = _shingles(rep_corpus)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
@@ -155,7 +183,11 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs
+    return exact_pairs.unionByName(pairs).distinct()
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(_corpus(spark, sf_dir))
 
 
 def _minhash_sql() -> str:
@@ -175,7 +207,18 @@ def _minhash_sql() -> str:
     bands_sql = "\n  UNION ALL\n  ".join(band_rows)
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
-shingles AS ({_SHINGLES_SQL}),
+fp AS (SELECT doc_id, md5(text) AS fingerprint FROM corpus),
+reps AS (SELECT fingerprint, min(doc_id) AS rep_id FROM fp GROUP BY fingerprint),
+exact_pairs AS (
+  SELECT r.rep_id AS doc_a, f.doc_id AS doc_b
+  FROM fp f JOIN reps r ON f.fingerprint = r.fingerprint
+  WHERE f.doc_id > r.rep_id
+),
+rep_corpus AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  WHERE c.doc_id IN (SELECT rep_id FROM reps)
+),
+shingles AS ({_shingles_sql("rep_corpus")}),
 sigs AS (
   SELECT doc_id,
          {sig_cols}
@@ -184,21 +227,39 @@ sigs AS (
 bands AS (
   {bands_sql}
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_no = b.band_no AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b FROM exact_pairs
+  UNION ALL
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
 """
 
 
 # --------------------------------------------------------- n-gram Jaccard
 
 _JACCARD_THRESHOLD = 0.8
+# Inverted-index safety valve: a shingle shared by d documents contributes
+# O(d²) candidate pairs on one join key.  Boilerplate shingles (d in the
+# millions at 100 TB) would otherwise put a 10¹²-row hot key on a single
+# reducer.  Capping document frequency bounds per-key fan-out at _DF_CAP²
+# and drops only stopword-ish shingles that carry no near-dup signal.
+# Jaccard stays internally consistent because sizes AND intersections are
+# both computed over the capped shingle set.
+_MAX_SHINGLE_DF = 100
 
 
-def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
-    sh = _shingles(c)
+def _jaccard_pairs(c: DataFrame) -> DataFrame:
+    sh_all = _shingles(c)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh_all.join(rare, "shingle", "semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -232,9 +293,20 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_corpus(spark, sf_dir))
+
+
 _JACCARD_SQL = f"""
 WITH corpus AS ({_CORPUS_SQL}),
-shingles AS ({_SHINGLES_SQL}),
+shingles_all AS ({_SHINGLES_SQL}),
+shingles AS (
+  SELECT doc_id, shingle FROM shingles_all
+  WHERE shingle IN (
+    SELECT shingle FROM shingles_all
+    GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}
+  )
+),
 sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
 ),

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from pdf_extractor_spark.gen.transcripts import generate_transcripts
 from pdf_extractor_spark.job.extract import run_extract
-from pdf_extractor_spark.queries.base import Q, load
+from pdf_extractor_spark.queries.base import Q, load, xor_checksum
 
 _N_CONVS = 40
 _SEED = 42
@@ -81,14 +81,7 @@ def _extract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("turn_end").cast("bigint").alias("max_turn"),
         F.count_if(F.col("had_reference")).alias("n_referenced"),
         F.count_if(F.col("n_fragments") > 1).alias("n_stitched"),
-        F.md5(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.concat_ws("", "span_id", "text"))
-                ),
-                "",
-            )
-        ).alias("content_checksum"),
+        xor_checksum("span_id", "text").alias("content_checksum"),
     )
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.base import Q, load
+from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
 
 
 # --------------------------------------------------------------------- aggs
@@ -48,13 +48,13 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            rhu(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rhu(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rhu(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            rhu(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rhu(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -62,11 +62,11 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-       round(avg(l_quantity), 4)                          AS avg_qty,
-       round(avg(l_discount), 6)                          AS avg_disc,
+       (floor(sum(l_quantity) * 100.0 + 0.5) / 100.0)     AS sum_qty,
+       (floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+       (floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0) AS sum_disc_price,
+       (floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+       (floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -80,7 +80,7 @@ def _priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        rhu(F.avg("o_totalprice"), 2).alias("avg_price"),
     )
 
 
@@ -89,7 +89,7 @@ SELECT o_orderpriority,
        count(*)                                        AS n_orders,
        count(*) FILTER (o_totalprice > 200000)         AS n_large,
        count(*) FILTER (o_orderstatus = 'F')           AS n_finished,
-       round(avg(o_totalprice), 2)                     AS avg_price
+       (floor(avg(o_totalprice) * 100.0 + 0.5) / 100.0) AS avg_price
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -101,12 +101,12 @@ def _part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.filter((F.col("p_size") >= 25) | (F.col("p_retailprice") > 1500))
         .select("p_partkey", "p_name", "p_size",
-                F.round("p_retailprice", 2).alias("p_retailprice"))
+                rhu(F.col("p_retailprice"), 2).alias("p_retailprice"))
     )
 
 
 _PART_FILTER_SQL = """
-SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice
+SELECT p_partkey, p_name, p_size, (floor(p_retailprice * 100.0 + 0.5) / 100.0) AS p_retailprice
 FROM part WHERE p_size >= 25 OR p_retailprice > 1500
 """
 
@@ -270,15 +270,16 @@ def _running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        rhu(F.sum("value").over(w), 4).alias("running_value"),
     )
 
 
 _RUNNING_SQL = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (
+       (floor(sum(value) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000.0 + 0.5)
+        / 10000.0)
        AS running_value
 FROM events
 """
@@ -420,12 +421,12 @@ def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "o_custkey",
-                F.round("o_totalprice", 2).alias("o_totalprice"))
+                rhu(F.col("o_totalprice"), 2).alias("o_totalprice"))
     )
 
 
 _TOPK_SQL = """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+SELECT o_orderkey, o_custkey, (floor(o_totalprice * 100.0 + 0.5) / 100.0) AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
@@ -467,7 +468,7 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
         .groupBy("n_name")
         .agg(
-            F.round(
+            rhu(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue"),
@@ -479,7 +480,7 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REVENUE_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       (floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0) AS revenue,
        count(*) AS n_lineitems,
        count(DISTINCT o_custkey) AS n_customers
 FROM lineitem
@@ -498,7 +499,7 @@ def _top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(rhu(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total_spend"), F.asc("c_custkey")
@@ -514,7 +515,7 @@ def _top_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_CUSTOMERS_SQL = """
 WITH spend AS (
   SELECT c_mktsegment, c_custkey, c_name,
-         round(sum(o_totalprice), 2) AS total_spend
+         (floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0) AS total_spend
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_mktsegment, c_custkey, c_name
 )
@@ -536,7 +537,7 @@ def _event_minute_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            rhu(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("win.start")).alias("window_start_us"),
@@ -549,7 +550,7 @@ _EVENT_WINDOWS_SQL = """
 SELECT epoch_us(date_trunc('minute', ts)) AS window_start_us,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       (floor(sum(value) * 10000.0 + 0.5) / 10000.0) AS sum_value
 FROM events
 GROUP BY date_trunc('minute', ts), event_type
 """

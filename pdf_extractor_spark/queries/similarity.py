@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.base import Q, load
+from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
 
 _N_QUERIES = 5
 _TOP_K = 5
@@ -50,9 +50,30 @@ def _norm(a) -> Column:
 
 def _with_cosine(pairs: DataFrame, qcol: str, ecol: str) -> DataFrame:
     qv, ev = _dvec(F.col(qcol)), _dvec(F.col(ecol))
+    # rhu, not F.round: scores feed rank/argmax comparisons that the
+    # DuckDB oracle mirrors — a .xxxx5 boundary under HALF_UP-vs-HALF_EVEN
+    # would flip a rank on one side only.
     return pairs.withColumn(
-        "score", F.round(_dot(qv, ev) / (_norm(qv) * _norm(ev)), 4)
+        "score", rhu(_dot(qv, ev) / (_norm(qv) * _norm(ev)), 4)
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) expression, rhu-rounded to 4dp (mirrors
+    ``_with_cosine`` exactly — both engines evaluate the same IEEE ops)."""
+    dot = (
+        f"(SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) "
+        f"FROM unnest(range(1, len({a}) + 1)) AS u(i))"
+    )
+    na = (
+        f"sqrt((SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)) "
+        f"FROM unnest(range(1, len({a}) + 1)) AS u(i)))"
+    )
+    nb = (
+        f"sqrt((SELECT sum(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) "
+        f"FROM unnest(range(1, len({b}) + 1)) AS u(i)))"
+    )
+    return rhu_sql(f"{dot} / ({na} * {nb})", 4)
 
 
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,17 +104,7 @@ WITH q AS (
 ),
 pairs AS (
   SELECT q.q_id, e.vec_id AS n_id,
-         round(
-           (SELECT sum(CAST(q.q_emb[i] AS DOUBLE)
-                       * CAST(e.embedding[i] AS DOUBLE))
-            FROM unnest(range(1, len(q.q_emb) + 1)) AS u(i))
-           / (sqrt((SELECT sum(CAST(q.q_emb[i] AS DOUBLE)
-                               * CAST(q.q_emb[i] AS DOUBLE))
-                    FROM unnest(range(1, len(q.q_emb) + 1)) AS u(i)))
-              * sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE)
-                                 * CAST(e.embedding[i] AS DOUBLE))
-                      FROM unnest(range(1, len(e.embedding) + 1)) AS u(i)))),
-           4) AS score
+         {_cos_sql("q.q_emb", "e.embedding")} AS score
   FROM q, embeddings e
   WHERE q.q_id <> e.vec_id
 )
@@ -106,26 +117,37 @@ SELECT q_id, rank, n_id, score FROM (
 """
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cents = (
+def _centroids(e: DataFrame) -> DataFrame:
+    return (
         e.filter(F.col("vec_id") < _N_CENTROIDS)
         .select(F.col("vec_id").alias("cell_id"),
                 F.col("embedding").alias("c_emb"))
     )
 
-    # assignment: nearest centroid per vector (broadcast of 16 rows)
-    assign_pairs = e.select(
-        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
-    ).crossJoin(F.broadcast(cents))
-    assigned = _with_cosine(assign_pairs, "c_emb", "n_emb")
-    w_assign = Window.partitionBy("n_id").orderBy(
-        F.desc("score"), F.asc("cell_id")
-    )
-    cells = (
-        assigned.withColumn("r", F.row_number().over(w_assign))
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame,
+                  id_col: str, emb_col: str) -> DataFrame:
+    """Nearest-centroid cell per vector (broadcast of the tiny centroid
+    table; narrow pass — the coarse-quantizer assignment of IVF)."""
+    pairs = vecs.crossJoin(F.broadcast(cents))
+    scored = _with_cosine(pairs, "c_emb", emb_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
-        .select("n_id", "n_emb", "cell_id")
+        .drop("r", "score", "c_emb")
+    )
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = _centroids(e)
+
+    # assignment: nearest centroid per vector (broadcast of 16 rows)
+    cells = _assign_cells(
+        e.select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("n_emb")),
+        cents, "n_id", "n_emb",
     )
 
     # queries probe their top-N_PROBE cells
@@ -167,32 +189,33 @@ def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _dvec(F.col("embedding"))
     per = e.select(
         "label",
-        F.round(_norm(v), 4).alias("norm"),
+        rhu(_norm(v), 4).alias("norm"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
     return per.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.min("norm"), 4).alias("min_norm"),
-        F.round(F.max("norm"), 4).alias("max_norm"),
-        F.round(F.avg("norm"), 3).alias("avg_norm"),
+        rhu(F.min("norm"), 4).alias("min_norm"),
+        rhu(F.max("norm"), 4).alias("max_norm"),
+        rhu(F.avg("norm"), 3).alias("avg_norm"),
         F.max("dim").alias("dim"),
     )
 
 
-_EMB_STATS_SQL = """
+_EMB_STATS_SQL = f"""
 WITH per AS (
   SELECT label,
-         round(sqrt((SELECT sum(CAST(embedding[i] AS DOUBLE)
-                                * CAST(embedding[i] AS DOUBLE))
-                     FROM unnest(range(1, len(embedding) + 1)) AS u(i))), 4)
+         {rhu_sql(
+             "sqrt((SELECT sum(CAST(embedding[i] AS DOUBLE)"
+             " * CAST(embedding[i] AS DOUBLE))"
+             " FROM unnest(range(1, len(embedding) + 1)) AS u(i)))", 4)}
            AS norm,
          len(embedding) AS dim
   FROM embeddings
 )
 SELECT label, count(*) AS n_vecs,
-       round(min(norm), 4) AS min_norm,
-       round(max(norm), 4) AS max_norm,
-       round(avg(norm), 3) AS avg_norm,
+       {rhu_sql("min(norm)", 4)} AS min_norm,
+       {rhu_sql("max(norm)", 4)} AS max_norm,
+       {rhu_sql("avg(norm)", 3)} AS avg_norm,
        max(dim) AS dim
 FROM per GROUP BY label
 """
@@ -202,30 +225,35 @@ _NEAR_DUP_THRESHOLD = 0.95
 
 
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs.  Corpus = embeddings ∪ jittered
-    copies of every 10th vector (deterministic near-dups so the operator
-    has real work at every scale); exact pairwise on label-blocked
-    candidates (same-label blocking ≙ the coarse-quantizer cell
-    restriction of the IVF path — at 100 TB the blocking key is the IVF
-    cell, bounding the pair join)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    """Embedding-cosine near-dup pairs, blocked by IVF cell.
+
+    Corpus = embeddings ∪ jittered copies of every 10th vector
+    (deterministic near-dups so the operator has real work at every
+    scale).  Blocking key is the coarse-quantizer cell (same assignment
+    as ``ann_ivf``), NOT a fixed-cardinality attribute: cell count grows
+    with the centroid set, so per-block pair counts stay bounded as the
+    corpus grows — a label-style block would go quadratic at 100 TB.
+    Cosine is scale-invariant, so a jittered copy lands in the same cell
+    as its source and is always a candidate.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     jitter = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        "label",
         F.transform(
             "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
         ).alias("embedding"),
     )
     corpus = e.unionByName(jitter)
-    a = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+    cells = _assign_cells(corpus, _centroids(e), "vec_id", "embedding")
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("cell_id"),
         F.col("embedding").alias("emb_a"),
     )
-    b = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("cell_id"),
         F.col("embedding").alias("emb_b"),
     )
-    pairs = a.join(b, "lbl").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
     scored = _with_cosine(pairs, "emb_a", "emb_b")
     return scored.filter(
         F.col("score") >= _NEAR_DUP_THRESHOLD
@@ -234,28 +262,33 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_COSINE_SQL = f"""
 WITH corpus AS (
-  SELECT vec_id, label, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, label,
+  SELECT vec_id + 1000000 AS vec_id,
          list_transform(embedding,
              x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
 ),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT v.vec_id, v.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_sql("c.c_emb", "v.embedding")} DESC,
+                    c.cell_id ASC) AS r
+  FROM corpus v, cents c
+),
+cells AS (
+  SELECT vec_id, embedding, cell_id FROM assigned WHERE r = 1
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(
-           (SELECT sum(CAST(a.embedding[i] AS DOUBLE)
-                       * CAST(b.embedding[i] AS DOUBLE))
-            FROM unnest(range(1, len(a.embedding) + 1)) AS u(i))
-           / (sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE)
-                               * CAST(a.embedding[i] AS DOUBLE))
-                    FROM unnest(range(1, len(a.embedding) + 1)) AS u(i)))
-              * sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE)
-                                 * CAST(b.embedding[i] AS DOUBLE))
-                      FROM unnest(range(1, len(b.embedding) + 1)) AS u(i)))),
-           4) AS score
-  FROM corpus a JOIN corpus b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+         {_cos_sql("a.embedding", "b.embedding")} AS score
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, score FROM pairs
 WHERE score >= {_NEAR_DUP_THRESHOLD}

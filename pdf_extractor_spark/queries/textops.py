@@ -421,7 +421,7 @@ def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = F.to_json(F.struct(
         F.col("event_id").alias("id"),
         F.col("event_type").alias("type"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
     ))
     # corrupt every 10th payload → from_json must null, not raise
     # (corruption leads the string: Spark's PERMISSIVE parser tolerates
@@ -446,7 +446,7 @@ WITH j AS (
   SELECT event_id,
          '{"id":' || event_id::VARCHAR
            || ',"type":"' || event_type
-           || '","value_cents":' || CAST(round(value * 100) AS BIGINT)::VARCHAR
+           || '","value_cents":' || CAST(floor(value * 100 + 0.5) AS BIGINT)::VARCHAR
            || '}' AS doc
   FROM events
 ), c AS (

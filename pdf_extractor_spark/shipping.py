@@ -27,19 +27,33 @@ def package_zip() -> str:
     out = os.path.join(
         tempfile.gettempdir(), "pdf_extractor_spark_pyfiles.zip"
     )
-    tmp = out + ".tmp"
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(_PKG_DIR):
-            for f in sorted(files):
-                if not f.endswith(".py"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.join(
-                    "pdf_extractor_spark",
-                    os.path.relpath(full, _PKG_DIR),
-                )
-                zf.write(full, rel)
-    os.replace(tmp, out)
+    # unique-per-process temp + atomic replace: two concurrent drivers
+    # (parallel test/bench sessions) must never interleave writes into a
+    # shared .tmp and ship a corrupt zip
+    fd, tmp = tempfile.mkstemp(
+        suffix=".zip", prefix="pdf_extractor_spark_pyfiles.",
+        dir=tempfile.gettempdir(),
+    )
+    try:
+        with os.fdopen(fd, "wb") as fh, \
+                zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "pdf_extractor_spark",
+                        os.path.relpath(full, _PKG_DIR),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, out)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 

@@ -56,6 +56,11 @@ ADVERSARIAL = [
     "<style>p{}</style><p>styled</p>",
     "<br><p>void tags<hr></p>",
     "<td>cell</td><td>cell2</td>",
+    # stdlib exits CDATA at '</\s*script' — the fast path must not skip
+    # past a spaced closer and silently drop the text after it
+    "<script>x</ script>visible text here</script><p>more</p>",
+    "<style>p{}</ style>also visible</style><p>t</p>",
+    "<script>x</\tscript><p>tab closer</p>",
 ]
 
 

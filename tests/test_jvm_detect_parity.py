@@ -22,6 +22,14 @@ ADVERSARIAL = [
     ("version 10.13 of the doc", "see part 2.1"),
     ("as in 8.01c", ""),
     ("x" * 5000 + " by 3.3", ""),
+    # Unicode boundaries: Python \s/\d/\b are Unicode-aware; JVM side
+    # must carry (?U) or these fork (ADVICE r1)
+    ("see problem\u00a02.3", ""),        # NBSP after cue word
+    ("using exercise\u20094.2", ""),     # thin space
+    ("problem \u0664.\u0665 is cited", ""),  # Arabic-Indic digits
+    ("from \u09e7.\u09e8 onward", ""),  # Bengali digits
+    ("by 3.4\u00e9xtra", ""),            # \\b before accented letter
+    ("problem\u30004.4", ""),            # ideographic space
 ]
 
 
@@ -65,3 +73,22 @@ def test_jvm_detect_adversarial_literals(spark):
     ).collect()
     for r in rows:
         assert r.jvm_ref == detect_ref(r.q, r.a), (r.q, r.a, r.jvm_ref)
+
+
+def test_jvm_strip_prefix_unicode_parity(spark):
+    from pdf_extractor_spark.core.normalize import strip_solution_prefix
+    from pdf_extractor_spark.job.extract import _strip_prefix_col
+
+    cases = [
+        "Solution. foo",
+        " Solution. foo",           # NBSP lead (ADVICE r1 repro)
+        " \\textbf{Solution.} bar",
+        "  Solution.   spaced   ",
+        "answer only",
+        "trailing ws 　",
+        "  ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    rows = df.select("t", _strip_prefix_col(F.col("t")).alias("s")).collect()
+    for r in rows:
+        assert r.s == strip_solution_prefix(r.t), (r.t, r.s)

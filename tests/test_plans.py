@@ -87,3 +87,14 @@ def test_extraction_pipeline_stays_in_arrow_not_row_python(spark):
         )
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_audit_checksum_is_partial_hash_agg(spark):
+    """The lineage checksum must be a partial+final hash aggregate with
+    O(1) per-group state — never a collect_list that buffers a whole
+    bucket's text in one aggregation buffer (VERDICT r1)."""
+    plan = _formatted_plan(spark, "extract_audit")
+    assert "collect_list" not in plan
+    assert "SortAggregate" not in plan
+    assert "partial_bit_xor" in plan or "bit_xor" in plan
+    assert plan.count("HashAggregate") >= 2

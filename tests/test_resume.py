@@ -71,6 +71,20 @@ def test_audit_lineage_covers_all_buckets_and_checksums(spark, tmp_path):
     }
     assert {r.bucket for r in rows} == buckets_in_data
     assert all(r.n_spans > 0 for r in rows)
-    assert all(len(r.content_checksum) == 32 for r in rows)
+    # xor-fold checksum: positive int64 (60-bit md5 prefix XOR), and it
+    # must equal an independent pure-Python recompute over the committed
+    # data (order-insensitive by construction)
+    from pdf_extractor_spark.queries.base import xor_checksum_py
+
+    assert all(0 <= r.content_checksum < 2 ** 60 for r in rows)
+    by_bucket = {}
+    for d in data.select(
+        "bucket", "conv_id", "span_id", "text"
+    ).collect():
+        by_bucket.setdefault(d.bucket, []).append(
+            (d.conv_id, d.span_id, d.text)
+        )
+    for r in rows:
+        assert r.content_checksum == xor_checksum_py(by_bucket[r.bucket])
     # spans accounted: audit totals == data totals
     assert sum(r.n_spans for r in rows) == data.count()
