@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pdf_extractor_spark.core.normalize import normalize_latex, text_similarity
+from pdf_extractor_spark.queries.base import rhu
 from pdf_extractor_spark.core.refs import CONTEXT_OPEN
 
 _REMAINING_REF_PAT = (
@@ -78,7 +79,11 @@ def evaluate_spans(spans: DataFrame) -> DataFrame:
 
     qa = qa.withColumn(
         "has_remaining_refs",
-        F.size(F.regexp_extract_all(full, F.lit(_REMAINING_REF_PAT), 0)) > 0,
+        # (?U) aligns Java \s/\d/\b with the Unicode-aware Python mirror
+        # (scripts/gen_expected.py uses the bare pattern with `re`)
+        F.size(
+            F.regexp_extract_all(full, F.lit("(?U)" + _REMAINING_REF_PAT), 0)
+        ) > 0,
     ).withColumn(
         "latex_well_formed",
         (n_braces_open == n_braces_close) & (n_dollar % 2 == 0),
@@ -119,7 +124,7 @@ def evaluation_summary(qa: DataFrame) -> DataFrame:
         F.count_if(~F.col("overall_passed")).alias("failed"),
         F.count_if(F.col("review_priority").isin("high", "medium"))
         .alias("needs_review"),
-        F.round(
+        rhu(
             F.count_if(F.col("overall_passed")).cast("double") / n, 4
         ).alias("pass_rate"),
         F.count_if(~F.col("latex_well_formed"))
@@ -127,5 +132,5 @@ def evaluation_summary(qa: DataFrame) -> DataFrame:
         F.count_if(F.col("has_remaining_refs")).alias("remaining_refs"),
         F.count_if(F.col("review_priority") == "high")
         .alias("high_priority_reviews"),
-        F.round(F.avg("answer_similarity"), 4).alias("avg_similarity"),
+        rhu(F.avg("answer_similarity"), 4).alias("avg_similarity"),
     )

@@ -31,6 +31,11 @@ class Q:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: Optional[str]  # DuckDB oracle; None → rows-only check
     doc: str = ""
+    # Pin the rehearsal's sf_dir for queries whose oracle is a checked-in
+    # expected parquet generated at a specific scale (the driver always
+    # compares at sf0.01; a pinned query must run against the same input
+    # there too).  None → use whatever sf the harness chose.
+    sf_pin: Optional[str] = None
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -300,8 +300,11 @@ QUERIES: list[Q] = [
       "embedding-cosine near-dup pairs (label-blocked exact)"),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),
-    Q("ann_ivf", _ann_ivf, None,
-      "IVF-partitioned approximate nearest neighbor (scale path)"),
+    Q("ann_ivf", _ann_ivf,
+      "SELECT * FROM read_parquet('/root/repo/expected/ann_ivf.parquet')",
+      "IVF-partitioned approximate nearest neighbor (scale path); oracle "
+      "is a checked-in numpy-free sequential-fold mirror at sf0.01",
+      sf_pin="/root/testdata/sf0.01"),
     Q("embedding_stats", _embedding_stats, _EMB_STATS_SQL,
       "vector corpus norm/label profile"),
 ]

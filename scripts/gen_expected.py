@@ -1,0 +1,287 @@
+"""Generate the checked-in expected-output parquet files that give the
+extraction/evaluation family (and ann_ivf) driver-hashable oracles.
+
+The flagship pipeline's semantics are not ANSI-SQL, but the seed-42 corpus
+is deterministic — so the single-process Python oracle
+(pdf_extractor_spark/core/oracle.py, NO Spark involved) can serialize its
+expected output once, and ``oracle_sql()`` becomes a plain
+``SELECT ... FROM read_parquet('expected/<name>.parquet')`` that DuckDB
+hash-compares against the live Spark run.  Every implementation here is
+independent of the Spark code path (pure Python / sequential folds), so
+the comparison is a real oracle, not an echo.
+
+Run from the repo root:  python scripts/gen_expected.py
+Regenerate whenever the extraction semantics or the seed-42 corpus change.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_extractor_spark.core.normalize import normalize_latex, text_similarity
+from pdf_extractor_spark.core.oracle import extract_table
+from pdf_extractor_spark.core.refs import CONTEXT_OPEN
+from pdf_extractor_spark.gen.transcripts import generate_transcripts
+from pdf_extractor_spark.job.evaluate import _REMAINING_REF_PAT
+from pdf_extractor_spark.queries.base import xor_checksum_py
+
+EXPECTED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected"
+)
+SF001_EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+_N_CONVS = 40
+_SEED = 42
+
+
+def rhu_py(x: float, digits: int) -> float:
+    """Python mirror of queries.base.rhu — identical IEEE ops."""
+    scale = float(10 ** digits)
+    return math.floor(x * scale + 0.5) / scale
+
+
+# ------------------------------------------------------------ extraction
+
+def oracle_spans() -> list[dict]:
+    corpus = generate_transcripts(n_convs=_N_CONVS, seed=_SEED)
+    return extract_table(corpus.to_dict("records"))
+
+
+def gen_extract_spans(spans: list[dict]) -> pa.Table:
+    df = pd.DataFrame(spans)
+    return pa.Table.from_pydict({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "turn_idx": pa.array(df["turn_idx"], pa.int32()),
+        "span_id": pa.array(df["span_id"], pa.string()),
+        "question_latex": pa.array(df["question_latex"], pa.string()),
+        "text": pa.array(df["text"], pa.string()),
+        "turn_start": pa.array(df["turn_start"], pa.int32()),
+        "turn_end": pa.array(df["turn_end"], pa.int32()),
+        "kind": pa.array(df["kind"], pa.string()),
+        "n_fragments": pa.array(df["n_fragments"], pa.int32()),
+        "had_reference": pa.array(df["had_reference"], pa.bool_()),
+    })
+
+
+def gen_extract_audit(spans: list[dict]) -> pa.Table:
+    per: dict[str, list[dict]] = {}
+    for s in spans:
+        per.setdefault(s["conv_id"], []).append(s)
+    rows = []
+    for conv_id in sorted(per):
+        ss = per[conv_id]
+        rows.append({
+            "conv_id": conv_id,
+            "n_spans": len(ss),
+            "n_fragments": sum(s["n_fragments"] for s in ss),
+            "max_turn": max(s["turn_end"] for s in ss),
+            "n_referenced": sum(1 for s in ss if s["had_reference"]),
+            "n_stitched": sum(1 for s in ss if s["n_fragments"] > 1),
+            "content_checksum": xor_checksum_py(
+                (s["span_id"], s["text"]) for s in ss
+            ),
+        })
+    df = pd.DataFrame(rows)
+    return pa.Table.from_pydict({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "n_spans": pa.array(df["n_spans"], pa.int64()),
+        "n_fragments": pa.array(df["n_fragments"], pa.int64()),
+        "max_turn": pa.array(df["max_turn"], pa.int64()),
+        "n_referenced": pa.array(df["n_referenced"], pa.int64()),
+        "n_stitched": pa.array(df["n_stitched"], pa.int64()),
+        "content_checksum": pa.array(df["content_checksum"], pa.int64()),
+    })
+
+
+# ------------------------------------------------------------ evaluation
+
+def eval_rows(spans: list[dict]) -> list[dict]:
+    """Pure-Python mirror of job/evaluate.py:evaluate_spans."""
+    out = []
+    for s in spans:
+        text = s["text"]
+        had_ref = bool(s["had_reference"])
+        original = text.split(CONTEXT_OPEN)[0] if had_ref else text
+        full = (s["question_latex"] + " " + original).lower()
+        has_remaining = re.search(_REMAINING_REF_PAT, full) is not None
+        well_formed = (
+            text.count("{") == text.count("}") and text.count("$") % 2 == 0
+        )
+        sim = (
+            float(text_similarity(
+                normalize_latex(original), normalize_latex(text)
+            ))
+            if had_ref else None
+        )
+        preserved = text.startswith(original)
+        passed = well_formed and preserved
+        sim_eff = 1.0 if sim is None else sim
+        if not well_formed or not preserved:
+            priority = "high"
+        elif has_remaining and not had_ref:
+            priority = "medium"
+        elif had_ref and sim_eff < 0.95:
+            priority = "low"
+        else:
+            priority = "none"
+        out.append({
+            "conv_id": s["conv_id"],
+            "span_id": s["span_id"],
+            "qa_id": s["conv_id"] + "/" + s["span_id"],
+            "question_latex": s["question_latex"],
+            "text": text,
+            "had_reference": had_ref,
+            "has_remaining_refs": has_remaining,
+            "latex_well_formed": well_formed,
+            "answer_similarity": sim,
+            "answer_preserved": preserved,
+            "overall_passed": passed,
+            "review_priority": priority,
+        })
+    return out
+
+
+def gen_evaluate_spans(rows: list[dict]) -> pa.Table:
+    df = pd.DataFrame(rows)
+    return pa.Table.from_pydict({
+        "conv_id": pa.array(df["conv_id"], pa.string()),
+        "span_id": pa.array(df["span_id"], pa.string()),
+        "qa_id": pa.array(df["qa_id"], pa.string()),
+        "question_latex": pa.array(df["question_latex"], pa.string()),
+        "text": pa.array(df["text"], pa.string()),
+        "had_reference": pa.array(df["had_reference"], pa.bool_()),
+        "has_remaining_refs": pa.array(df["has_remaining_refs"], pa.bool_()),
+        "latex_well_formed": pa.array(df["latex_well_formed"], pa.bool_()),
+        "answer_similarity": pa.array(
+            [r["answer_similarity"] for r in rows], pa.float64()
+        ),
+        "answer_preserved": pa.array(df["answer_preserved"], pa.bool_()),
+        "overall_passed": pa.array(df["overall_passed"], pa.bool_()),
+        "review_priority": pa.array(df["review_priority"], pa.string()),
+    })
+
+
+def gen_evaluate_summary(rows: list[dict]) -> pa.Table:
+    n = len(rows)
+    passed = sum(1 for r in rows if r["overall_passed"])
+    sims = [r["answer_similarity"] for r in rows
+            if r["answer_similarity"] is not None]
+    return pa.Table.from_pydict({
+        "total_qas": pa.array([n], pa.int64()),
+        "passed": pa.array([passed], pa.int64()),
+        "failed": pa.array([n - passed], pa.int64()),
+        "needs_review": pa.array(
+            [sum(1 for r in rows
+                 if r["review_priority"] in ("high", "medium"))], pa.int64()
+        ),
+        "pass_rate": pa.array([rhu_py(passed / n, 4)], pa.float64()),
+        "compilation_failures": pa.array(
+            [sum(1 for r in rows if not r["latex_well_formed"])], pa.int64()
+        ),
+        "remaining_refs": pa.array(
+            [sum(1 for r in rows if r["has_remaining_refs"])], pa.int64()
+        ),
+        "high_priority_reviews": pa.array(
+            [sum(1 for r in rows if r["review_priority"] == "high")],
+            pa.int64(),
+        ),
+        "avg_similarity": pa.array(
+            [rhu_py(sum(sims) / len(sims), 4) if sims else None],
+            pa.float64(),
+        ),
+    })
+
+
+# --------------------------------------------------------------- ann_ivf
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left fold in array order — mirrors F.aggregate(zip_with(...))
+    exactly (same IEEE add sequence)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x * y)
+    return acc
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    score = _fold_dot(a, b) / (
+        math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+    )
+    return rhu_py(score, 4)
+
+
+def gen_ann_ivf(emb_path: str) -> pa.Table:
+    t = pq.read_table(emb_path)
+    vec_ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()  # float32 → Python float64
+    by_id = dict(zip(vec_ids, embs))
+
+    n_centroids, n_probe, n_queries, top_k = 16, 2, 5, 5
+    cents = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids]
+
+    # nearest-centroid assignment (ties → min cell_id)
+    cell_of: dict[int, int] = {}
+    for vid, emb in by_id.items():
+        best = max(cents, key=lambda c: (_cos(c[1], emb), -c[0]))
+        cell_of[vid] = best[0]
+    members: dict[int, list[int]] = {}
+    for vid, cell in cell_of.items():
+        members.setdefault(cell, []).append(vid)
+
+    rows = []
+    for q_id in sorted(by_id):
+        if q_id >= n_queries:
+            continue
+        q_emb = by_id[q_id]
+        probes = sorted(
+            cents, key=lambda c: (-_cos(c[1], q_emb), c[0])
+        )[:n_probe]
+        cands = []
+        for cell_id, _ in probes:
+            for n_id in members.get(cell_id, []):
+                if n_id == q_id:
+                    continue
+                cands.append(
+                    (q_id, n_id, _cos(q_emb, by_id[n_id]), cell_id)
+                )
+        cands.sort(key=lambda c: (-c[2], c[1]))
+        for rank, (qi, ni, score, cell) in enumerate(cands[:top_k], 1):
+            rows.append({"q_id": qi, "rank": rank, "n_id": ni,
+                         "score": score, "cell_id": cell})
+    return pa.Table.from_pydict({
+        "q_id": pa.array([r["q_id"] for r in rows], pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], pa.int32()),
+        "n_id": pa.array([r["n_id"] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+        "cell_id": pa.array([r["cell_id"] for r in rows], pa.int64()),
+    })
+
+
+def main() -> None:
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    spans = oracle_spans()
+    rows = eval_rows(spans)
+    outputs = {
+        "extract_spans": gen_extract_spans(spans),
+        "extract_audit": gen_extract_audit(spans),
+        "evaluate_spans": gen_evaluate_spans(rows),
+        "evaluate_summary": gen_evaluate_summary(rows),
+        "ann_ivf": gen_ann_ivf(SF001_EMB),
+    }
+    for name, table in outputs.items():
+        path = os.path.join(EXPECTED_DIR, f"{name}.parquet")
+        pq.write_table(table, path)
+        print(f"{name}: {table.num_rows} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,7 @@ def _spark_type_token(t) -> str:
 
 @pytest.mark.parametrize("q", SQL_CHECKED, ids=lambda q: q.name)
 def test_query_matches_oracle(q, spark, oracle):
-    sdf = q.fn(spark, SF_DIR)
+    sdf = q.fn(spark, q.sf_pin or SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
