@@ -76,11 +76,20 @@ _PLUS_RE = re.compile(r"\s*\+\s*")
 _MINUS_RE = re.compile(r"\s*-\s*")
 
 
+# Single-pass translate table: every source is one non-ASCII codepoint and
+# every output is pure ASCII, so no replacement can ever create another
+# source character — one str.translate pass is provably identical to the
+# reference's sequential replace chain (latex_generator.py:118-129) while
+# scanning the string once instead of 88 times.
+_SANITIZE_TABLE = str.maketrans({uch: cmd for uch, cmd in UNICODE_TO_LATEX})
+
+assert all(len(uch) == 1 and ord(uch) > 127 for uch, _ in UNICODE_TO_LATEX)
+assert all(cmd.isascii() for _, cmd in UNICODE_TO_LATEX)
+
+
 def sanitize_latex(text: str) -> str:
-    """Unicode math → LaTeX commands, sequential replace in table order."""
-    for uch, cmd in UNICODE_TO_LATEX:
-        text = text.replace(uch, cmd)
-    return text
+    """Unicode math → LaTeX commands (≡ table-order sequential replace)."""
+    return text.translate(_SANITIZE_TABLE)
 
 
 def strip_solution_prefix(answer: str) -> str:

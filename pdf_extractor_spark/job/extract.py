@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdf_extractor_spark.core.normalize import UNICODE_TO_LATEX
 from pdf_extractor_spark.core.parse_turn import parse_turn
 from pdf_extractor_spark.core.refs import (
     CONTEXT_CLOSE,
@@ -80,10 +79,11 @@ DEFAULT_BLOCK_SIZE = 8192
 # --------------------------------------------------------------------------
 
 def _sanitize_series(s: pd.Series) -> pd.Series:
-    # vectorized sequential replace in table order (≙ sanitize_latex)
-    for uch, cmd in UNICODE_TO_LATEX:
-        s = s.str.replace(uch, cmd, regex=False)
-    return s
+    # one vectorized translate pass (≙ sanitize_latex; see the
+    # order-equivalence proof at core/normalize.py:_SANITIZE_TABLE)
+    from pdf_extractor_spark.core.normalize import _SANITIZE_TABLE
+
+    return s.str.translate(_SANITIZE_TABLE)
 
 
 def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

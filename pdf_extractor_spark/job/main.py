@@ -77,6 +77,33 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_errors(args: argparse.Namespace) -> int:
+    """O5 error-display limit (≙ reference cli.py:119-123 'Show first 5'):
+    evaluate a previous run's output and print the first N failing spans
+    in deterministic (conv_id, span_id) order."""
+    spark = _spark(args.cores)
+    from pdf_extractor_spark.job.evaluate import evaluate_spans
+    from pdf_extractor_spark.job.sink import read_output
+
+    qa = evaluate_spans(read_output(spark, args.output))
+    failing = (
+        qa.filter(~qa.overall_passed)
+        .orderBy("conv_id", "span_id")
+        .select("qa_id", "latex_well_formed", "answer_preserved",
+                "review_priority")
+        .limit(args.limit)
+    )
+    rows = failing.collect()
+    if not rows:
+        print("no failing spans")
+        return 0
+    print(f"first {len(rows)} failing spans:")
+    for r in rows:
+        print(f"  {r.qa_id}: well_formed={r.latex_well_formed} "
+              f"preserved={r.answer_preserved} priority={r.review_priority}")
+    return 1
+
+
 def cmd_bench_corpus(args: argparse.Namespace) -> int:
     spark = _spark(args.cores)
     from pdf_extractor_spark.gen.transcripts import generate_transcripts
@@ -114,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--output", required=True)
     pa.add_argument("--limit", type=int, default=50)
     pa.set_defaults(fn=cmd_audit)
+
+    pr = sub.add_parser("errors", help="show first N failing spans of a run")
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--limit", type=int, default=5)
+    pr.set_defaults(fn=cmd_errors)
 
     pb = sub.add_parser("bench-corpus", help="materialize synthetic corpus")
     pb.add_argument("--convs", type=int, default=1500)

@@ -1,0 +1,113 @@
+"""MERGE-shaped upsert: newest-wins semantics (vs a pure-Python dict
+overlay mirroring /root/reference/src/reviewer.py:238-266), snapshot
+isolation under a simulated writer crash, and the broadcast anti-join
+plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdf_extractor_spark.job.upsert import (
+    _latest_snapshot,
+    latest_reviews_view,
+    merge_upsert,
+    read_table,
+)
+
+SCHEMA = "qa_id string, decision string, reviewed_at bigint"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "reviews_table")
+
+
+def test_merge_upsert_newest_wins(spark, table_dir):
+    base = spark.createDataFrame(
+        [("a", "accepted", 1), ("b", "rejected", 1), ("c", "skipped", 1)],
+        SCHEMA,
+    )
+    merge_upsert(spark, table_dir, base, ["qa_id"])
+
+    updates = spark.createDataFrame(
+        [("b", "accepted", 2), ("d", "rejected", 2)], SCHEMA
+    )
+    merge_upsert(spark, table_dir, updates, ["qa_id"])
+
+    got = _rows(read_table(spark, table_dir))
+
+    # independent mirror: the reference's dict overlay
+    overlay = {r[0]: r for r in
+               [("a", "accepted", 1), ("b", "rejected", 1),
+                ("c", "skipped", 1)]}
+    for r in [("b", "accepted", 2), ("d", "rejected", 2)]:
+        overlay[r[0]] = r
+    assert got == set(overlay.values())
+
+
+def test_merge_upsert_crash_leaves_previous_snapshot(spark, table_dir):
+    base = spark.createDataFrame([("a", "accepted", 1)], SCHEMA)
+    merge_upsert(spark, table_dir, base, ["qa_id"])
+    before = _rows(read_table(spark, table_dir))
+
+    # simulate a writer dying AFTER the snapshot parquet write but BEFORE
+    # the pointer swap: write an orphan snapshot dir by hand
+    orphan = os.path.join(table_dir, "snapshot=99")
+    spark.createDataFrame([("zz", "corrupt", 9)], SCHEMA) \
+        .write.parquet(orphan)
+
+    # readers still resolve the committed pointer, not the orphan
+    assert _latest_snapshot(table_dir) == 0
+    assert _rows(read_table(spark, table_dir)) == before
+
+
+def test_merge_upsert_multi_generation(spark, table_dir):
+    expected = {}
+    for gen in range(4):
+        batch = [(f"qa{i}", f"d{gen}", gen) for i in range(gen, gen + 3)]
+        for r in batch:
+            expected[r[0]] = r
+        snap = merge_upsert(
+            spark, table_dir,
+            spark.createDataFrame(batch, SCHEMA), ["qa_id"],
+        )
+        assert snap == gen
+    assert _rows(read_table(spark, table_dir)) == set(expected.values())
+
+
+def test_latest_reviews_view_collapses_log(spark):
+    log = spark.createDataFrame(
+        [("a", "rejected", 1), ("a", "accepted", 5), ("b", "skipped", 2)],
+        SCHEMA,
+    )
+    got = _rows(latest_reviews_view(log))
+    assert got == {("a", "accepted", 5), ("b", "skipped", 2)}
+
+
+def test_merge_plan_broadcasts_small_updates(spark, table_dir):
+    base = spark.createDataFrame(
+        [(f"qa{i}", "accepted", 1) for i in range(500)], SCHEMA
+    )
+    merge_upsert(spark, table_dir, base, ["qa_id"])
+    updates = spark.createDataFrame([("qa1", "rejected", 2)], SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    current = read_table(spark, table_dir)
+    survivors = current.join(
+        F.broadcast(updates.select("qa_id").distinct()),
+        ["qa_id"], "left_anti",
+    )
+    plan = survivors._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
