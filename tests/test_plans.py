@@ -98,3 +98,55 @@ def test_audit_checksum_is_partial_hash_agg(spark):
     assert "SortAggregate" not in plan
     assert "partial_bit_xor" in plan or "bit_xor" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_lsh_no_cartesian_and_hash_aggs(spark):
+    """LSH candidate generation must stay a keyed equi-join on
+    (band_no, band_hash) — a cartesian/nested-loop here is the classic
+    all-pairs blowup — and the signature/rep aggregations must be hash
+    aggs (partial+final), not sort aggs."""
+    plan = _formatted_plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_dedup_jaccard_df_cap_in_plan(spark):
+    """The document-frequency cap must appear as a semi-join against the
+    rare-shingle set (bounded inverted-index fan-out at scale).  The
+    production query hides this inside a localCheckpoint subplan, so
+    compose the same pieces without the checkpoint for the plan gate."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.dedup import (
+        _MAX_SHINGLE_DF,
+        _corpus,
+        _shingles,
+    )
+
+    sh_all = _shingles(_corpus(spark, SF))
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    capped = sh_all.join(rare, "shingle", "semi")
+    plan = capped._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in plan
+    # and the full query must never degrade to an all-pairs join
+    full = _formatted_plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in full
+
+
+def test_embedding_neardup_blocks_on_cell(spark):
+    """Near-dup blocking key must be the IVF cell join (cell_id), with the
+    tiny centroid table broadcast."""
+    plan = _formatted_plan(spark, "dedup_embedding_cosine")
+    assert "cell_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
