@@ -146,8 +146,8 @@ def main() -> None:
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         results = {}
         samples: dict[int, list] = {}
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
-        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1200"))
         # ambient load on this shared VM only ever SLOWS a run, so the
         # best-of over reps converges to the unloaded steady state from
         # below; once the best pair clears the criterion with margin,
