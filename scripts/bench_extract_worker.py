@@ -52,6 +52,10 @@ def main() -> None:
         transcripts.filter("conv_id like '%0'")
     ).write.mode("overwrite").parquet(warm_dir)
 
+    try:
+        os.sync()  # warm-up just wrote parquet; don't time its writeback
+    except OSError:
+        pass
     out_dir = tempfile.mkdtemp(prefix=f"bench_extract_{cores}_")
     t0 = time.time()
     run_extract(transcripts).write.mode("overwrite").parquet(out_dir)
@@ -64,6 +68,12 @@ def main() -> None:
         "tps": round(n_turns / wall, 1),
     }))
     spark.stop()
+    # untimed cleanup: leftover outputs otherwise accumulate dirty pages
+    # and disk across reps, taxing the NEXT measurement
+    import shutil
+
+    for d in (warm_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
