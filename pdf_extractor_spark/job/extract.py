@@ -394,48 +394,75 @@ def _resolve_references(spans: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    for _ in range(MAX_DEPTH):
-        # lookup value = target's CURRENT resolved text: evolves only for
-        # targets that themselves hold a reference (chains)
-        dyn = (
-            with_ref.filter("is_rep")
-            .select(
-                F.col("conv_id").alias("l_conv"),
-                F.col("span_id").alias("l_sid"),
-                F.col("resolved").alias("l_resolved"),
-            )
+    # Unrolled fixpoint via lookup-table hops (r2 latency fix).  The core
+    # contract (refs.py:63-95) unrolls to
+    #     R_k(i) = a_i + ctx(r_i) + L_{k-1}[r_i]      (usable ref)
+    #     L_k[sid] = R_k(rep(sid))
+    # so MAX_DEPTH-1 hops over the SMALL lookup table followed by ONE
+    # join against the span set compute exactly R_MAX_DEPTH — replacing
+    # MAX_DEPTH full passes over all referenced spans (each a join +
+    # barrier that cost fixed wall at any parallelism: the measured
+    # ~2s/round serial tail of BENCH.md finding 9).  A usable ref is
+    # non-null, non-self, and present in the lookup — identical guards to
+    # the per-round form, so shorter chains degrade to identity hops.
+    def hop(values: DataFrame) -> DataFrame:
+        """values: (l_conv, l_sid, l_resolved) = L_{k-1} → L_k."""
+        tgt = values.select(
+            F.col("l_conv").alias("t_conv"),
+            F.col("l_sid").alias("t_sid"),
+            F.col("l_resolved").alias("t_resolved"),
         )
-        lookup = (
-            static_lookup.join(dyn, ["l_conv", "l_sid"], "left")
-            .select(
-                "l_conv", "l_sid",
-                F.when(
-                    F.col("l_ref").isNotNull(), F.col("l_resolved")
-                ).otherwise(F.col("l_base")).alias("l_resolved"),
-            )
-        )
-        with_ref = (
-            with_ref.join(
-                lookup,
-                (with_ref["conv_id"] == lookup["l_conv"])
-                & (with_ref["ref_id"] == lookup["l_sid"]),
+        s = static_lookup.alias("s")
+        return (
+            s.join(
+                tgt.alias("t"),
+                (F.col("s.l_conv") == F.col("t.t_conv"))
+                & (F.col("s.l_ref") == F.col("t.t_sid")),
                 "left",
             )
-            .withColumn(
-                "resolved",
+            .select(
+                F.col("s.l_conv").alias("l_conv"),
+                F.col("s.l_sid").alias("l_sid"),
                 F.when(
-                    (F.col("ref_id") != F.col("span_id"))
-                    & F.col("l_resolved").isNotNull(),
+                    F.col("s.l_ref").isNotNull()
+                    & (F.col("s.l_ref") != F.col("s.l_sid"))
+                    & F.col("t.t_resolved").isNotNull(),
                     F.concat(
-                        F.col("answer_latex"),
-                        F.lit(CONTEXT_OPEN), F.col("ref_id"),
-                        F.lit(CONTEXT_CLOSE), F.col("l_resolved"),
+                        F.col("s.l_base"),
+                        F.lit(CONTEXT_OPEN), F.col("s.l_ref"),
+                        F.lit(CONTEXT_CLOSE), F.col("t.t_resolved"),
                     ),
-                ).otherwise(F.col("answer_latex")),
+                ).otherwise(F.col("s.l_base")).alias("l_resolved"),
             )
-            .drop("l_conv", "l_sid", "l_resolved")
         )
-        with_ref = with_ref.localCheckpoint(eager=False)
+
+    lookup = static_lookup.select(
+        "l_conv", "l_sid", F.col("l_base").alias("l_resolved")
+    )
+    for _ in range(MAX_DEPTH - 1):
+        lookup = hop(lookup).localCheckpoint(eager=False)
+
+    with_ref = (
+        with_ref.join(
+            lookup,
+            (with_ref["conv_id"] == lookup["l_conv"])
+            & (with_ref["ref_id"] == lookup["l_sid"]),
+            "left",
+        )
+        .withColumn(
+            "resolved",
+            F.when(
+                (F.col("ref_id") != F.col("span_id"))
+                & F.col("l_resolved").isNotNull(),
+                F.concat(
+                    F.col("answer_latex"),
+                    F.lit(CONTEXT_OPEN), F.col("ref_id"),
+                    F.lit(CONTEXT_CLOSE), F.col("l_resolved"),
+                ),
+            ).otherwise(F.col("answer_latex")),
+        )
+        .drop("l_conv", "l_sid", "l_resolved")
+    )
 
     no_ref = spans.filter(F.col("ref_id").isNull()).withColumn(
         "resolved", F.col("answer_latex")
