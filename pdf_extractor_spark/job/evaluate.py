@@ -9,9 +9,11 @@ Reference parity (/root/reference/src/evaluator.py):
 - answer similarity               ≙ :109-130 SequenceMatcher ratio over
   :80-107 normalize_latex — difflib has no JVM equivalent, so it runs as
   an Arrow-batch pandas UDF (metrics-only path, per SURVEY §2.11);
-- pdflatex compile check          ≙ :150-186 — replaced by a deterministic
-  well-formedness check (balanced braces / even $ count): external
-  binaries are out of scope for a cluster job (SURVEY §7.5);
+- pdflatex compile + SSIM         ≙ :150-214 — replaced by deterministic
+  substitutes: balanced-brace/$-parity well-formedness (compile check)
+  and SequenceMatcher over ``latex_structure`` skeletons (visual-diff
+  stand-in); external binaries are out of scope for a cluster job
+  (SURVEY §7.5);
 - pass/priority thresholds        ≙ :258-280 (<0.95 fail/high,
   <0.99 warn/medium), overall_passed predicate;
 - summary aggregation             ≙ :342-363 → one hash-agg row.
@@ -28,7 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdf_extractor_spark.core.normalize import normalize_latex, text_similarity
+from pdf_extractor_spark.core.normalize import (
+    normalize_latex,
+    structure_similarity,
+    text_similarity,
+)
 from pdf_extractor_spark.queries.base import rhu
 from pdf_extractor_spark.core.refs import CONTEXT_OPEN
 
@@ -40,13 +46,31 @@ _REMAINING_REF_PAT = (
 )
 
 
-@F.pandas_udf(T.DoubleType())
-def _similarity_udf(original: pd.Series, resolved: pd.Series) -> pd.Series:
-    out = [
-        float(text_similarity(normalize_latex(o or ""), normalize_latex(r or "")))
-        for o, r in zip(original, resolved)
-    ]
-    return pd.Series(out, dtype="float64")
+_SIM_SCHEMA = T.StructType([
+    T.StructField("answer", T.DoubleType()),
+    T.StructField("structural", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_SIM_SCHEMA)
+def _similarity_udf(original: pd.Series, resolved: pd.Series) -> pd.DataFrame:
+    """One Arrow pass computes BOTH graded similarities:
+
+    - answer:     SequenceMatcher over normalize_latex text (evaluator.py
+                  :109-130 parity);
+    - structural: SequenceMatcher over latex_structure skeletons — the
+                  deterministic stand-in for the pdflatex-render + SSIM
+                  visual comparison (evaluator.py:150-214; external
+                  binaries are out of scope per SURVEY §2.11).
+    """
+    ans, struct = [], []
+    for o, r in zip(original, resolved):
+        o, r = o or "", r or ""
+        ans.append(
+            float(text_similarity(normalize_latex(o), normalize_latex(r)))
+        )
+        struct.append(float(structure_similarity(o, r)))
+    return pd.DataFrame({"answer": ans, "structural": struct})
 
 
 def evaluate_spans(spans: DataFrame) -> DataFrame:
@@ -87,12 +111,14 @@ def evaluate_spans(spans: DataFrame) -> DataFrame:
     ).withColumn(
         "latex_well_formed",
         (n_braces_open == n_braces_close) & (n_dollar % 2 == 0),
+    )
+    sims = F.when(
+        F.col("had_reference"), _similarity_udf("original_text", "text")
+    )
+    qa = qa.withColumn(
+        "answer_similarity", sims["answer"]
     ).withColumn(
-        "answer_similarity",
-        F.when(
-            F.col("had_reference"),
-            _similarity_udf("original_text", "text"),
-        ).otherwise(F.lit(None).cast("double")),
+        "structural_similarity", sims["structural"]
     )
 
     # pass criterion: the reference demands resolution leave the answer
@@ -133,4 +159,6 @@ def evaluation_summary(qa: DataFrame) -> DataFrame:
         F.count_if(F.col("review_priority") == "high")
         .alias("high_priority_reviews"),
         rhu(F.avg("answer_similarity"), 4).alias("avg_similarity"),
+        rhu(F.avg("structural_similarity"), 4)
+        .alias("avg_structural_similarity"),
     )

@@ -27,7 +27,11 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pdf_extractor_spark.core.normalize import normalize_latex, text_similarity
+from pdf_extractor_spark.core.normalize import (
+    normalize_latex,
+    structure_similarity,
+    text_similarity,
+)
 from pdf_extractor_spark.core.oracle import extract_table
 from pdf_extractor_spark.core.refs import CONTEXT_OPEN
 from pdf_extractor_spark.gen.transcripts import generate_transcripts
@@ -122,6 +126,9 @@ def eval_rows(spans: list[dict]) -> list[dict]:
             ))
             if had_ref else None
         )
+        ssim = (
+            float(structure_similarity(original, text)) if had_ref else None
+        )
         preserved = text.startswith(original)
         passed = well_formed and preserved
         sim_eff = 1.0 if sim is None else sim
@@ -143,6 +150,7 @@ def eval_rows(spans: list[dict]) -> list[dict]:
             "has_remaining_refs": has_remaining,
             "latex_well_formed": well_formed,
             "answer_similarity": sim,
+            "structural_similarity": ssim,
             "answer_preserved": preserved,
             "overall_passed": passed,
             "review_priority": priority,
@@ -164,6 +172,9 @@ def gen_evaluate_spans(rows: list[dict]) -> pa.Table:
         "answer_similarity": pa.array(
             [r["answer_similarity"] for r in rows], pa.float64()
         ),
+        "structural_similarity": pa.array(
+            [r["structural_similarity"] for r in rows], pa.float64()
+        ),
         "answer_preserved": pa.array(df["answer_preserved"], pa.bool_()),
         "overall_passed": pa.array(df["overall_passed"], pa.bool_()),
         "review_priority": pa.array(df["review_priority"], pa.string()),
@@ -175,6 +186,8 @@ def gen_evaluate_summary(rows: list[dict]) -> pa.Table:
     passed = sum(1 for r in rows if r["overall_passed"])
     sims = [r["answer_similarity"] for r in rows
             if r["answer_similarity"] is not None]
+    ssims = [r["structural_similarity"] for r in rows
+             if r["structural_similarity"] is not None]
     return pa.Table.from_pydict({
         "total_qas": pa.array([n], pa.int64()),
         "passed": pa.array([passed], pa.int64()),
@@ -196,6 +209,10 @@ def gen_evaluate_summary(rows: list[dict]) -> pa.Table:
         ),
         "avg_similarity": pa.array(
             [rhu_py(sum(sims) / len(sims), 4) if sims else None],
+            pa.float64(),
+        ),
+        "avg_structural_similarity": pa.array(
+            [rhu_py(sum(ssims) / len(ssims), 4) if ssims else None],
             pa.float64(),
         ),
     })
