@@ -45,3 +45,23 @@ def test_text_similarity_shortcuts():
     assert text_similarity("a", "a") == 1.0
     assert text_similarity("", "x") == 0.0
     assert 0.0 < text_similarity("abcd", "abcf") < 1.0
+
+
+def test_latex_structure_skeleton():
+    from pdf_extractor_spark.core.normalize import (
+        latex_structure,
+        structure_similarity,
+    )
+
+    assert latex_structure(r"Let $x^2 + \frac{a}{b}$ hold") == \
+        r"$ ^ 2 \frac { } { } $"
+    assert latex_structure("plain prose only") == ""
+    # identical structure, different prose → 1.0
+    assert structure_similarity(
+        r"\frac{a}{b} therefore", r"\frac{x}{y} hence"
+    ) == 1.0
+    # structural drift (lost closing brace) scores well below 1
+    assert structure_similarity(r"\frac{a}{b}", r"\frac{a}{b") < 1.0
+    # empty-vs-structured follows text_similarity shortcuts
+    assert structure_similarity("prose", "prose") == 1.0
+    assert structure_similarity(r"\sum", "") == 0.0
