@@ -23,6 +23,14 @@ this module implements the same commit shape directly:
 Pointer swap is write-temp + ``os.replace`` — atomic on POSIX, same
 guarantee the reference's checkpoint tmp+rename gives
 (/root/reference/checkpoint.py:22-78).
+
+Concurrency: Iceberg's commit is a compare-and-swap on the metadata
+pointer; two writers racing on a filesystem pointer file would instead
+last-write-win and silently drop a merge.  ``merge_upsert`` therefore
+takes an ``O_CREAT|O_EXCL`` commit lock for the read→merge→swap span and
+re-verifies the pointer is unchanged before the swap (a crashed writer
+leaves a stale lock; ``force_unlock`` clears it after operator review —
+the same manual-recovery contract as a stale Iceberg lock table entry).
 """
 
 from __future__ import annotations
@@ -34,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LATEST = "_LATEST"
+_LOCK = "_COMMIT_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the commit lock (or won the pointer race)."""
 
 
 def _latest_snapshot(table_dir: str) -> int | None:
@@ -49,6 +62,28 @@ def _commit_pointer(table_dir: str, snapshot: int) -> None:
     with os.fdopen(fd, "w") as f:
         f.write(f"{snapshot}\n")
     os.replace(tmp, os.path.join(table_dir, _LATEST))
+
+
+def _acquire_lock(table_dir: str) -> str:
+    path = os.path.join(table_dir, _LOCK)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"commit lock held: {path} (another writer is committing; "
+            "if it crashed, clear with force_unlock)"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(f"pid={os.getpid()}\n")
+    return path
+
+
+def force_unlock(table_dir: str) -> None:
+    """Clear a stale commit lock left by a crashed writer."""
+    try:
+        os.unlink(os.path.join(table_dir, _LOCK))
+    except FileNotFoundError:
+        pass
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
@@ -74,27 +109,40 @@ def merge_upsert(
     Returns the committed snapshot id.
     """
     os.makedirs(table_dir, exist_ok=True)
-    current = read_table(spark, table_dir)
-    if current is None:
-        merged = updates
-        snap = 0
-    else:
-        # broadcast the distinct KEY set (not the update payload): keys
-        # are compact even for large update batches, and a broadcast
-        # anti-join streams the big target exactly once with no shuffle
-        # of it — the copy-on-write MERGE plan at any target size
-        survivors = current.join(
-            F.broadcast(updates.select(*key_cols).distinct()),
-            key_cols, "left_anti",
-        )
-        merged = survivors.unionByName(updates)
-        snap = (_latest_snapshot(table_dir) or 0) + 1
+    lock = _acquire_lock(table_dir)
+    try:
+        base = _latest_snapshot(table_dir)
+        current = read_table(spark, table_dir)
+        if current is None:
+            merged = updates
+            snap = 0
+        else:
+            # broadcast the distinct KEY set (not the update payload): keys
+            # are compact even for large update batches, and a broadcast
+            # anti-join streams the big target exactly once with no shuffle
+            # of it — the copy-on-write MERGE plan at any target size
+            survivors = current.join(
+                F.broadcast(updates.select(*key_cols).distinct()),
+                key_cols, "left_anti",
+            )
+            merged = survivors.unionByName(updates)
+            snap = base + 1
 
-    merged.write.mode("overwrite").parquet(
-        os.path.join(table_dir, f"snapshot={snap}")
-    )
-    # COMMIT POINT — readers only see the snapshot after the pointer swap
-    _commit_pointer(table_dir, snap)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"snapshot={snap}")
+        )
+        # CAS: the snapshot we merged against must still be current —
+        # a writer that slipped past the lock (e.g. after force_unlock)
+        # must not have its merge silently discarded
+        if _latest_snapshot(table_dir) != base:
+            raise ConcurrentWriteError(
+                f"pointer moved from snapshot {base} during commit; "
+                "retry the merge against the new snapshot"
+            )
+        # COMMIT POINT — readers only see the snapshot after the swap
+        _commit_pointer(table_dir, snap)
+    finally:
+        os.unlink(lock)
     return snap
 
 

@@ -76,6 +76,15 @@ def xor_checksum(*cols, sep: str = "\x1f"):
     result is partition-order independent; 15 hex digits keep the value
     positive in an int64 on every engine.
 
+    XOR cancels even multiplicities: a row written an even number of
+    times contributes nothing, so the checksum ALONE cannot distinguish
+    a doubled write from an omission of those rows.  The contract is
+    therefore (checksum, count) as a PAIR — every audit/oracle row that
+    carries this checksum also carries the group's row count (n_spans),
+    and a duplicated write flips the count even when it preserves the
+    XOR.  Consumers must compare both (tests/test_resume.py pins the
+    pair property).
+
     Python equivalent (for oracle-side recomputation):
     ``reduce(xor, (int(md5(sep.join(vals).encode()).hexdigest()[:15], 16)))``
     """

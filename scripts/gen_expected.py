@@ -35,8 +35,34 @@ from pdf_extractor_spark.core.normalize import (
 from pdf_extractor_spark.core.oracle import extract_table
 from pdf_extractor_spark.core.refs import CONTEXT_OPEN
 from pdf_extractor_spark.gen.transcripts import generate_transcripts
-from pdf_extractor_spark.job.evaluate import _REMAINING_REF_PAT
-from pdf_extractor_spark.queries.base import xor_checksum_py
+
+# Independent restatement of the remaining-reference sweep (the semantic
+# contract from /root/reference/src/evaluator.py:53-69) — deliberately NOT
+# imported from pdf_extractor_spark.job.evaluate, so a bug introduced in
+# the job-side pattern cannot self-certify through its own oracle
+# (tests/test_gen_expected.py carries the perturbation canary).
+_REMAINING_REF_PAT = (
+    r"(?:using|from|by|see|as in)\s+"
+    r"(?:the result of |the result from |problem |question |exercise |part )?"
+    r"\d+\.\d+[a-z]?\b"
+    r"|\b(?:problem|question|exercise)\s+\d+\.\d+[a-z]?\b"
+)
+
+# Review-priority similarity threshold (evaluator.py:258-280 contract),
+# restated rather than imported for the same reason.
+_SIM_REVIEW_THRESHOLD = 0.95
+
+
+def _xor_checksum_mirror(rows, sep: str = "\x1f") -> int:
+    """Independent restatement of queries.base.xor_checksum's contract:
+    XOR-fold of the first 15 md5 hex digits of sep-joined row values."""
+    import hashlib
+
+    acc = 0
+    for vals in rows:
+        h = hashlib.md5(sep.join(vals).encode("utf-8")).hexdigest()
+        acc ^= int(h[:15], 16)
+    return acc
 
 EXPECTED_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected"
@@ -90,7 +116,7 @@ def gen_extract_audit(spans: list[dict]) -> pa.Table:
             "max_turn": max(s["turn_end"] for s in ss),
             "n_referenced": sum(1 for s in ss if s["had_reference"]),
             "n_stitched": sum(1 for s in ss if s["n_fragments"] > 1),
-            "content_checksum": xor_checksum_py(
+            "content_checksum": _xor_checksum_mirror(
                 (s["span_id"], s["text"]) for s in ss
             ),
         })
@@ -136,7 +162,7 @@ def eval_rows(spans: list[dict]) -> list[dict]:
             priority = "high"
         elif has_remaining and not had_ref:
             priority = "medium"
-        elif had_ref and sim_eff < 0.95:
+        elif had_ref and sim_eff < _SIM_REVIEW_THRESHOLD:
             priority = "low"
         else:
             priority = "none"

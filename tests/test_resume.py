@@ -88,3 +88,25 @@ def test_audit_lineage_covers_all_buckets_and_checksums(spark, tmp_path):
         assert r.content_checksum == xor_checksum_py(by_bucket[r.bucket])
     # spans accounted: audit totals == data totals
     assert sum(r.n_spans for r in rows) == data.count()
+
+
+def test_checksum_count_pair_detects_duplicated_write():
+    """XOR alone cancels even multiplicities — a doubled bucket write has
+    the SAME checksum as the original.  The audit contract is therefore
+    the (content_checksum, n_spans) PAIR (queries/base.py docstring):
+    duplication preserves the XOR but flips the count, omission flips the
+    XOR.  This pins that property so nobody ever drops n_spans from the
+    comparison."""
+    from pdf_extractor_spark.queries.base import xor_checksum_py
+
+    rows = [("c1", "s1", "alpha"), ("c1", "s2", "beta")]
+    doubled = rows + rows
+
+    # the XOR blind spot, stated as a fact:
+    assert xor_checksum_py(doubled) == xor_checksum_py([])
+    assert xor_checksum_py(rows + rows[:1]) != xor_checksum_py(rows)
+
+    # the pair closes it:
+    pair = (xor_checksum_py(rows), len(rows))
+    assert (xor_checksum_py(doubled), len(doubled)) != pair
+    assert (xor_checksum_py(rows[:1]), 1) != pair

@@ -10,7 +10,9 @@ import os
 import pytest
 
 from pdf_extractor_spark.job.upsert import (
+    ConcurrentWriteError,
     _latest_snapshot,
+    force_unlock,
     latest_reviews_view,
     merge_upsert,
     read_table,
@@ -79,6 +81,26 @@ def test_merge_upsert_multi_generation(spark, table_dir):
         )
         assert snap == gen
     assert _rows(read_table(spark, table_dir)) == set(expected.values())
+
+
+def test_concurrent_writer_blocked_by_commit_lock(spark, table_dir):
+    base = spark.createDataFrame([("a", "accepted", 1)], SCHEMA)
+    merge_upsert(spark, table_dir, base, ["qa_id"])
+
+    # a second writer mid-commit = lock file present
+    with open(os.path.join(table_dir, "_COMMIT_LOCK"), "w") as f:
+        f.write("pid=other\n")
+    updates = spark.createDataFrame([("a", "rejected", 2)], SCHEMA)
+    with pytest.raises(ConcurrentWriteError, match="commit lock held"):
+        merge_upsert(spark, table_dir, updates, ["qa_id"])
+    # committed state untouched by the refused merge
+    assert _rows(read_table(spark, table_dir)) == {("a", "accepted", 1)}
+
+    # operator clears the stale lock → merge proceeds, lock released after
+    force_unlock(table_dir)
+    merge_upsert(spark, table_dir, updates, ["qa_id"])
+    assert _rows(read_table(spark, table_dir)) == {("a", "rejected", 2)}
+    assert not os.path.exists(os.path.join(table_dir, "_COMMIT_LOCK"))
 
 
 def test_latest_reviews_view_collapses_log(spark):
