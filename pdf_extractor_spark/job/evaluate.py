@@ -141,6 +141,27 @@ def evaluate_spans(spans: DataFrame) -> DataFrame:
     return qa.drop("original_text")
 
 
+_SIM_AVG_SCALE = 1_000_000.0
+
+
+def _det_avg(col_name: str):
+    """Order-independent mean of a double column.
+
+    ``F.avg`` over doubles sums in partition order — a value within float
+    accumulation error of a rounding boundary would hash differently run
+    to run.  Quantizing each value to an int (floor(x*1e6 + 0.5)) and
+    summing LONGS makes the aggregate exact and associative — identical
+    on any partitioning and identical to the sequential oracle mirror
+    (scripts/gen_expected.py performs the same integer fold).  Long
+    overflow needs > 9e18/1e6 = 9.2e12 rows per summary — beyond the
+    10^12-turn design point, and summaries aggregate per-corpus metrics,
+    not raw turns."""
+    c = F.col(col_name)
+    num = F.sum(F.floor(c * _SIM_AVG_SCALE + 0.5)).cast("double")
+    den = F.count(c).cast("double") * F.lit(_SIM_AVG_SCALE)
+    return F.when(F.count(c) > 0, rhu(num / den, 4))
+
+
 def evaluation_summary(qa: DataFrame) -> DataFrame:
     """EvaluationReport-shaped one-row aggregate (evaluator.py:342-363)."""
     n = F.count(F.lit(1))
@@ -158,7 +179,7 @@ def evaluation_summary(qa: DataFrame) -> DataFrame:
         F.count_if(F.col("has_remaining_refs")).alias("remaining_refs"),
         F.count_if(F.col("review_priority") == "high")
         .alias("high_priority_reviews"),
-        rhu(F.avg("answer_similarity"), 4).alias("avg_similarity"),
-        rhu(F.avg("structural_similarity"), 4)
+        _det_avg("answer_similarity").alias("avg_similarity"),
+        _det_avg("structural_similarity")
         .alias("avg_structural_similarity"),
     )

@@ -4,19 +4,28 @@
   against all vectors; dot/norm computed JVM-side with zip_with/aggregate
   (no Python in the hot path).  Scores are rounded to 4dp on BOTH sides
   before ranking so float summation order can't flip the hash.
-- ann_ivf    — the scale path: IVF coarse quantizer.  K=16 deterministic
-  centroids (the vectors with vec_id 0..15), every vector assigned to its
-  nearest centroid (broadcast join — the 16-row centroid table is tiny),
-  queries probe their top-2 nearest centroid cells only, then brute-force
-  within the probed cells.  At 100 TB the assignment is a narrow broadcast
-  pass and the search join shuffles on cell_id, touching ~2/16 of the
-  corpus per query instead of all of it.  (Rows-only check: recall vs the
-  exact scan is validated in tests; ANN results are not SQL-reproducible
-  as a value-hash because probing is an approximation contract, but the
-  implementation below is still fully deterministic.)
+- ann_ivf    — the scale path: IVF with a FITTED coarse quantizer.  K=16
+  centroids come from a deterministic sampled k-means
+  (core/kmeans.py: hash-bounded sample → driver fit → broadcast — the
+  FAISS/MLlib recipe, so the quantizer tracks the data distribution
+  instead of freezing an arbitrary seed slice).  Every vector is assigned
+  to its nearest centroid (broadcast join — the 16-row centroid table is
+  tiny), queries probe their top-2 nearest centroid cells only, then
+  brute-force within the probed cells.  At 100 TB the fit reads a bounded
+  256-vector sample, the assignment is a narrow broadcast pass, and the
+  search join shuffles on cell_id, touching ~2/16 of the corpus per query
+  instead of all of it.  The oracle is a checked-in expected parquet from
+  the INDEPENDENT mirror fit+search (oracle_mirror/ivf.py +
+  scripts/gen_expected.py); tests/test_kmeans.py pins bit-equality of
+  the two fits, and tests/test_similarity.py holds recall ≥ 0.8 on a
+  shifted (clustered + outlier) distribution where a seed-slice quantizer
+  degrades.
 
-At a real 100 TB deployment the centroid set comes from a sampled k-means
-fit; a fixed deterministic seed set keeps this sandbox reproducible.
+Oracle input pin: ann_ivf's expected parquet and the centroid literals
+inside the dedup_embedding_cosine oracle SQL are generated from
+/root/testdata/sf0.01/embeddings.parquet — the driver's sf0.01 compare
+input must be that same dataset (it is; TESTDATA.md), and
+tests/test_oracle_parity.py rehearses with the same pin (Q.sf_pin).
 """
 
 from __future__ import annotations
@@ -24,12 +33,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pdf_extractor_spark.core import kmeans
+from pdf_extractor_spark.oracle_mirror.ivf import centroid_sql_literals
 from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
 
 _N_QUERIES = 5
 _TOP_K = 5
 _N_CENTROIDS = 16
 _N_PROBE = 2
+_PINNED_SF = "/root/testdata/sf0.01"
 
 
 def _dvec(col) -> Column:
@@ -117,57 +129,116 @@ SELECT q_id, rank, n_id, score FROM (
 """
 
 
-def _centroids(e: DataFrame) -> DataFrame:
-    return (
-        e.filter(F.col("vec_id") < _N_CENTROIDS)
-        .select(F.col("vec_id").alias("cell_id"),
-                F.col("embedding").alias("c_emb"))
-    )
+# fitted centroids per (Spark app, sf_dir) — the fit is deterministic, so
+# caching only saves the repeated sample scan + driver fit within a session
+_FIT_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame,
-                  id_col: str, emb_col: str) -> DataFrame:
-    """Nearest-centroid cell per vector (broadcast of the tiny centroid
-    table; narrow pass — the coarse-quantizer assignment of IVF)."""
-    pairs = vecs.crossJoin(F.broadcast(cents))
-    scored = _with_cosine(pairs, "c_emb", emb_col)
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cell_id"))
+def _fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """K=16 coarse-quantizer centroids: hash-bounded sample pulled to the
+    driver, deterministic Lloyd fit (core/kmeans.py spec); consumed as
+    literal arrays by the narrow assignment expressions.  orderBy(
+    md5(id), id).limit(n) is a TakeOrdered — O(n) per partition and
+    collects exactly n rows at ANY corpus size, so the driver never holds
+    more than n_sample×dim floats."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIT_CACHE:
+        e = load(spark, sf_dir, "embeddings")
+        sample = (
+            e.select(
+                "vec_id", "embedding",
+                F.md5(F.col("vec_id").cast("string")).alias("hk"),
+            )
+            .orderBy("hk", "vec_id")
+            .limit(kmeans.N_FIT_SAMPLE)
+            .collect()
+        )
+        # rows arrive hash-ordered (the fit spec's sample order)
+        _FIT_CACHE[key] = kmeans.fit(
+            [(r.vec_id, [float(x) for x in r.embedding]) for r in sample],
+            k=_N_CENTROIDS,
+        )
+    return _FIT_CACHE[key]
+
+
+def _cell_scores(emb_col, cents: list[list[float]]):
+    """array<struct<score, neg_cell>> of rhu4 cosine against every fitted
+    centroid, built entirely from LITERALS — the coarse-quantizer
+    assignment as a NARROW per-row expression.  The previous shape
+    (crossJoin with a 16-row centroid table + row_number window) pushed
+    16× the corpus through a shuffle just to pick each row's argmax; at
+    100 TB that is petabytes of exchange for a per-row computation.
+    Centroid norms are precomputed with the identical left fold
+    (core/kmeans._dot + math.sqrt), so scores match the DuckDB/mirror
+    oracles bit for bit."""
+    import math as _math
+
+    v = _dvec(emb_col)
+    nv = _norm(v)
+    entries = []
+    for j, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        cn = F.lit(_math.sqrt(kmeans._dot(c, c)))
+        score = rhu(_dot(v, cl) / (nv * cn), 4)
+        entries.append(F.struct(
+            score.alias("score"),
+            F.lit(-j).cast("bigint").alias("neg_cell"),
+        ))
+    return F.array(*entries)
+
+
+def _assign_cells(vecs: DataFrame, cents: list[list[float]],
+                  emb_col: str) -> DataFrame:
+    """cell_id of the nearest fitted centroid per row (ties → lowest
+    cell, via max over (score, -cell)).  Pure map — no join, no shuffle.
+
+    Small-input guard: k×dim interpreted fold work per row wants all
+    cores, but a bench-scale corpus arrives as one parquet file = one
+    partition, so fan out first.  At cluster scale the input already has
+    thousands of partitions and the guard is a no-op — the assignment
+    stays the narrow pass it should be (the old crossJoin+window shape
+    moved 16× the corpus through an exchange instead)."""
+    para = vecs.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < para:
+        vecs = vecs.repartition(para)
+    best = F.array_max(_cell_scores(F.col(emb_col), cents))
+    return vecs.withColumn("cell_id", -best["neg_cell"])
+
+
+def _probe_cells(df: DataFrame, emb_col: str, cents: list[list[float]],
+                 n_probe: int) -> DataFrame:
+    """Explode each row into its top-``n_probe`` nearest cells (ordered
+    score DESC, cell_id ASC) — the query-side probe set, also narrow."""
+    scores = _cell_scores(F.col(emb_col), cents)
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .drop("r", "score", "c_emb")
+        df.withColumn("_probe", F.explode(top))
+        .withColumn("cell_id", -F.col("_probe.neg_cell"))
+        .drop("_probe")
     )
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    cents = _centroids(e)
+    cents = _fitted_centroids(spark, sf_dir)
 
-    # assignment: nearest centroid per vector (broadcast of 16 rows)
+    # assignment: narrow argmax against the broadcast-as-literals fit
     cells = _assign_cells(
         e.select(F.col("vec_id").alias("n_id"),
                  F.col("embedding").alias("n_emb")),
-        cents, "n_id", "n_emb",
+        cents, "n_emb",
     )
 
-    # queries probe their top-N_PROBE cells
-    q = (
+    # queries probe their top-N_PROBE cells (narrow explode)
+    probes = _probe_cells(
         e.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"))
-    )
-    q_pairs = q.crossJoin(F.broadcast(cents))
-    q_scored = _with_cosine(q_pairs, "c_emb", "q_emb")
-    w_probe = Window.partitionBy("q_id").orderBy(
-        F.desc("score"), F.asc("cell_id")
-    )
-    probes = (
-        q_scored.withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= _N_PROBE)
-        .select("q_id", "q_emb", "cell_id")
+                F.col("embedding").alias("q_emb")),
+        "q_emb", cents, _N_PROBE,
     )
 
-    # search only within probed cells (shuffle keyed on cell_id)
+    # search only within probed cells — the ONLY shuffle in the query,
+    # keyed on cell_id, touching ~n_probe/k of the corpus
     cand = probes.join(cells, "cell_id").filter(
         F.col("q_id") != F.col("n_id")
     )
@@ -229,12 +300,18 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Corpus = embeddings ∪ jittered copies of every 10th vector
     (deterministic near-dups so the operator has real work at every
-    scale).  Blocking key is the coarse-quantizer cell (same assignment
-    as ``ann_ivf``), NOT a fixed-cardinality attribute: cell count grows
-    with the centroid set, so per-block pair counts stay bounded as the
-    corpus grows — a label-style block would go quadratic at 100 TB.
-    Cosine is scale-invariant, so a jittered copy lands in the same cell
-    as its source and is always a candidate.
+    scale).  Blocking key is the FITTED coarse-quantizer cell (same
+    sampled-k-means assignment as ``ann_ivf``), NOT a fixed-cardinality
+    attribute: cell count grows with the centroid set and the fit tracks
+    the data distribution, so per-block pair counts stay bounded as the
+    corpus grows — a label-style block would go quadratic at 100 TB, and
+    unfitted seed cells collapse under distribution shift
+    (tests/test_adversarial.py).  Cosine is scale-invariant, so a
+    jittered copy lands in the same cell as its source and is always a
+    candidate.  The oracle SQL blocks on the same cells via centroid
+    literals from the independent mirror fit (oracle_mirror/ivf.py, on
+    the pinned sf0.01 input); DuckDB evaluates assignment, cosine, and
+    threshold itself.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     jitter = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -244,7 +321,9 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = e.unionByName(jitter)
-    cells = _assign_cells(corpus, _centroids(e), "vec_id", "embedding")
+    cells = _assign_cells(
+        corpus, _fitted_centroids(spark, sf_dir), "embedding"
+    )
     a = cells.select(
         F.col("vec_id").alias("id_a"), F.col("cell_id"),
         F.col("embedding").alias("emb_a"),
@@ -270,8 +349,7 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id % 10 = 0
 ),
 cents AS (
-  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-  WHERE vec_id < {_N_CENTROIDS}
+  SELECT cell_id, c_emb FROM {centroid_sql_literals(_PINNED_SF + "/embeddings.parquet")}
 ),
 assigned AS (
   SELECT v.vec_id, v.embedding, c.cell_id,
@@ -297,14 +375,15 @@ WHERE score >= {_NEAR_DUP_THRESHOLD}
 
 QUERIES: list[Q] = [
     Q("dedup_embedding_cosine", _dedup_embedding_cosine, _DEDUP_COSINE_SQL,
-      "embedding-cosine near-dup pairs (label-blocked exact)"),
+      "embedding-cosine near-dup pairs, blocked by fitted IVF "
+      "coarse-quantizer cell"),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),
     Q("ann_ivf", _ann_ivf,
       "SELECT * FROM read_parquet('/root/repo/expected/ann_ivf.parquet')",
-      "IVF-partitioned approximate nearest neighbor (scale path); oracle "
-      "is a checked-in numpy-free sequential-fold mirror at sf0.01",
-      sf_pin="/root/testdata/sf0.01"),
+      "IVF ANN with fitted sampled-k-means quantizer (scale path); oracle "
+      "is a checked-in independent sequential mirror at the pinned sf0.01",
+      sf_pin=_PINNED_SF),
     Q("embedding_stats", _embedding_stats, _EMB_STATS_SQL,
       "vector corpus norm/label profile"),
 ]

@@ -67,7 +67,11 @@ def _xor_checksum_mirror(rows, sep: str = "\x1f") -> int:
 EXPECTED_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected"
 )
-SF001_EMB = "/root/testdata/sf0.01/embeddings.parquet"
+# ann_ivf's oracle is generated from THIS dataset and the driver compares
+# at its own sf0.01 dir — the gate relies on those being the same parquet
+# (they are: TESTDATA.md's driver-generated fixture tree).  Q.sf_pin on
+# ann_ivf makes the repo-side rehearsal honor the same pin.
+SF01_EMB = "/root/testdata/sf0.01/embeddings.parquet"
 
 _N_CONVS = 40
 _SEED = 42
@@ -207,6 +211,18 @@ def gen_evaluate_spans(rows: list[dict]) -> pa.Table:
     })
 
 
+def _det_avg_py(vals: list[float]) -> float | None:
+    """Order-independent mean mirror: per-value integer quantization
+    (floor(x*1e6 + 0.5)), exact integer sum, one division, rhu(…, 4) —
+    the same op sequence the Spark summary performs (job/evaluate.py
+    ``_det_avg``), so partitioning can never flip the hash."""
+    if not vals:
+        return None
+    num = float(sum(int(math.floor(v * 1_000_000.0 + 0.5)) for v in vals))
+    den = float(len(vals)) * 1_000_000.0
+    return rhu_py(num / den, 4)
+
+
 def gen_evaluate_summary(rows: list[dict]) -> pa.Table:
     n = len(rows)
     passed = sum(1 for r in rows if r["overall_passed"])
@@ -233,13 +249,9 @@ def gen_evaluate_summary(rows: list[dict]) -> pa.Table:
             [sum(1 for r in rows if r["review_priority"] == "high")],
             pa.int64(),
         ),
-        "avg_similarity": pa.array(
-            [rhu_py(sum(sims) / len(sims), 4) if sims else None],
-            pa.float64(),
-        ),
+        "avg_similarity": pa.array([_det_avg_py(sims)], pa.float64()),
         "avg_structural_similarity": pa.array(
-            [rhu_py(sum(ssims) / len(ssims), 4) if ssims else None],
-            pa.float64(),
+            [_det_avg_py(ssims)], pa.float64()
         ),
     })
 
@@ -263,13 +275,23 @@ def _cos(a: list[float], b: list[float]) -> float:
 
 
 def gen_ann_ivf(emb_path: str) -> pa.Table:
+    from pdf_extractor_spark.oracle_mirror.ivf import (
+        fit_centroids_from_parquet,
+    )
+
     t = pq.read_table(emb_path)
     vec_ids = t.column("vec_id").to_pylist()
     embs = t.column("embedding").to_pylist()  # float32 → Python float64
     by_id = dict(zip(vec_ids, embs))
 
-    n_centroids, n_probe, n_queries, top_k = 16, 2, 5, 5
-    cents = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids]
+    n_probe, n_queries, top_k = 2, 5, 5
+    # fitted coarse quantizer — the independent mirror restatement of
+    # core/kmeans.py's sampled-Lloyd spec (bit-equality pinned by
+    # tests/test_kmeans.py)
+    cents = [
+        (j, list(c))
+        for j, c in enumerate(fit_centroids_from_parquet(emb_path))
+    ]
 
     # nearest-centroid assignment (ties → min cell_id)
     cell_of: dict[int, int] = {}
@@ -318,7 +340,7 @@ def main() -> None:
         "extract_audit": gen_extract_audit(spans),
         "evaluate_spans": gen_evaluate_spans(rows),
         "evaluate_summary": gen_evaluate_summary(rows),
-        "ann_ivf": gen_ann_ivf(SF001_EMB),
+        "ann_ivf": gen_ann_ivf(SF01_EMB),
     }
     for name, table in outputs.items():
         path = os.path.join(EXPECTED_DIR, f"{name}.parquet")

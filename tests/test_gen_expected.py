@@ -25,7 +25,7 @@ def fresh():
         "extract_audit": G.gen_extract_audit(spans),
         "evaluate_spans": G.gen_evaluate_spans(rows),
         "evaluate_summary": G.gen_evaluate_summary(rows),
-        "ann_ivf": G.gen_ann_ivf(G.SF001_EMB),
+        "ann_ivf": G.gen_ann_ivf(G.SF01_EMB),
     }
 
 
