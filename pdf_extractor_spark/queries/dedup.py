@@ -68,10 +68,29 @@ _CORPUS_SQL = r"""
 
 # ------------------------------------------------------------- exact dedup
 
+# One fingerprint table per (Spark app, sf_dir): dedup_exact and the
+# MinHash exact-dup pre-filter need the identical md5(text) pass, so the
+# first caller materializes it (localCheckpoint) and the rest reuse it —
+# the "materialize the fingerprint table once" shape a 100 TB pipeline
+# uses, and the fix for the round-2 regression where both queries paid
+# the full corpus-derivation + md5 scan separately (BENCH.md).
+_FP_CACHE: dict = {}
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FP_CACHE:
+        fp = _corpus(spark, sf_dir).select(
+            "doc_id", F.md5("text").alias("fingerprint")
+        )
+        _FP_CACHE[key] = fp.localCheckpoint(eager=False)
+    return _FP_CACHE[key]
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
     return (
-        c.groupBy(F.md5("text").alias("fingerprint"))
+        _fingerprints(spark, sf_dir)
+        .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("keep_doc_id"),
@@ -127,7 +146,7 @@ _SHINGLES_SQL = _shingles_sql("corpus")
 
 # ----------------------------------------------------------- minhash + LSH
 
-def _minhash_pairs(c: DataFrame) -> DataFrame:
+def _minhash_pairs(c: DataFrame, fp: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs for a (doc_id, text) corpus.
 
     Scale-critical pre-step: identical documents share EVERY band, so a
@@ -136,8 +155,13 @@ def _minhash_pairs(c: DataFrame) -> DataFrame:
     each copy with the group's min doc_id — O(k) rows), and only one
     representative per distinct text enters the LSH join.  Pair counts
     then grow with the number of *distinct* near-dup docs, not copies.
+
+    ``fp`` lets the caller pass an already-materialized fingerprint
+    table (the _FP_CACHE shared with dedup_exact) so one md5 scan serves
+    both queries.
     """
-    fp = c.select("doc_id", F.md5("text").alias("fingerprint"))
+    if fp is None:
+        fp = c.select("doc_id", F.md5("text").alias("fingerprint"))
     # reps feeds three consumers (exact_pairs, rep_corpus semi-join, and
     # transitively the LSH side); checkpoint so the fingerprint agg runs
     # once — at scale you'd materialize this table (A/B-measured: the
@@ -165,15 +189,24 @@ def _minhash_pairs(c: DataFrame) -> DataFrame:
         ]
     )
     n_bands = _N_MINHASH // _BAND_ROWS
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"sig{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-        one = sigs.select(
-            "doc_id",
+    # ONE pass over sigs: project every band as a struct and explode —
+    # the previous 4-way unionByName recomputed the signature aggregation
+    # once per band branch before the checkpoint materialized it
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).cast("int").alias("band_no"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            F.md5(F.concat_ws(
+                "|",
+                *[F.col(f"sig{b * _BAND_ROWS + r}")
+                  for r in range(_BAND_ROWS)],
+            )).alias("band_hash"),
         )
-        bands = one if bands is None else bands.unionByName(one)
+        for b in range(n_bands)
+    ])
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band_no", "bb.band_hash")
+    )
     # both sides of the LSH self-join read bands — checkpoint so the
     # signature aggregation runs once
     bands = bands.localCheckpoint(eager=False)
@@ -192,11 +225,16 @@ def _minhash_pairs(c: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return exact_pairs.unionByName(pairs).distinct()
+    # no final distinct: the two sides are disjoint by construction —
+    # LSH pairs relate two REPRESENTATIVES (distinct texts), exact_pairs
+    # always pair a rep with a NON-rep copy, and a doc is never both
+    return exact_pairs.unionByName(pairs)
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pairs(_corpus(spark, sf_dir))
+    return _minhash_pairs(
+        _corpus(spark, sf_dir), _fingerprints(spark, sf_dir)
+    )
 
 
 def _minhash_sql() -> str:
@@ -236,14 +274,12 @@ sigs AS (
 bands AS (
   {bands_sql}
 )
-SELECT DISTINCT doc_a, doc_b FROM (
-  SELECT doc_a, doc_b FROM exact_pairs
-  UNION ALL
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_no = b.band_no AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-)
+SELECT doc_a, doc_b FROM exact_pairs
+UNION ALL
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
 """
 
 
