@@ -530,18 +530,17 @@ def sort_key_columns(df: DataFrame, id_col: str = "span_id") -> DataFrame:
 # Entry
 # --------------------------------------------------------------------------
 
-def run_extract(
-    transcripts: DataFrame,
+def extract_from_parsed(
+    parsed: DataFrame,
     block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) → spans
-    (OUTPUT_SCHEMA + sk_* ordering keys)."""
-    from pdf_extractor_spark.shipping import ensure_workers
-
-    ensure_workers(transcripts.sparkSession)
-    parsed = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        parse_batches, PARSED_SCHEMA
-    )
+    """PARSED_SCHEMA fragment rows → spans (stages 2-5: link/stitch,
+    edge-merge, resolve, finalize).  This is the batch compactor of the
+    two-phase streaming design (streaming/ingest.py): ``stream_parse``
+    feeds a parsed table incrementally, and this function — the IDENTICAL
+    code the batch path runs — compacts it.  tests/test_streaming.py's
+    end-to-end gate asserts stream-parse + this == run_extract row for
+    row."""
     # the stitch consumes `parsed` through THREE exchanges (window,
     # block-last agg, block set); without materialization each branch
     # re-runs the parse — measured as 3× the most expensive stage.
@@ -557,3 +556,18 @@ def run_extract(
     spans = _resolve_references(spans)
     out = _finalize(spans)
     return sort_key_columns(out)
+
+
+def run_extract(
+    transcripts: DataFrame,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → spans
+    (OUTPUT_SCHEMA + sk_* ordering keys)."""
+    from pdf_extractor_spark.shipping import ensure_workers
+
+    ensure_workers(transcripts.sparkSession)
+    parsed = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        parse_batches, PARSED_SCHEMA
+    )
+    return extract_from_parsed(parsed, block_size)

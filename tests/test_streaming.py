@@ -44,6 +44,44 @@ def test_stream_parse_matches_batch_and_is_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == got.count()
 
 
+def test_streaming_pipeline_equals_batch_end_to_end(spark, tmp_path):
+    """The round-3 streaming↔batch parity gate: drive the seed-42 corpus
+    through the STREAMING path (stream_parse with availableNow, arriving
+    in two chunks, then the batch compactor over the parsed table) and
+    assert row-for-row equality with a one-shot run_extract — the
+    carried-state contract of the reference's page loop
+    (/root/reference/src/pipeline.py:221-243) held across the
+    stream/batch boundary."""
+    from pdf_extractor_spark.job.extract import (
+        extract_from_parsed,
+        run_extract,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "parsed")
+    ckpt = str(tmp_path / "ckpt_e2e")
+
+    all_df = transcripts_df(spark, n_convs=12, seed=42)
+    # two arrival chunks SPLIT MID-CONVERSATION: the compactor must
+    # stitch fragments whose pieces arrived in different micro-batches
+    first = all_df.filter("turn_idx < 4")
+    second = all_df.filter("turn_idx >= 4")
+    for chunk in (first, second):
+        chunk.write.mode("append").parquet(src)
+        q = stream_parse(spark, src, out, ckpt)
+        q.awaitTermination(120)
+
+    streamed = extract_from_parsed(spark.read.parquet(out))
+    batch = run_extract(all_df)
+
+    cols = ("conv_id", "turn_idx", "span_id", "question_latex", "text",
+            "turn_start", "turn_end", "kind", "n_fragments",
+            "had_reference")
+    a = sorted(tuple(str(x) for x in r) for r in streamed.select(*cols).collect())
+    b = sorted(tuple(str(x) for x in r) for r in batch.select(*cols).collect())
+    assert a == b
+
+
 def test_stream_turn_metrics_windows(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt_m")
