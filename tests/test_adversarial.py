@@ -1,0 +1,181 @@
+"""Adversarial-distribution variants for the dedup/ANN scale arguments.
+
+Every scale mechanism added in rounds 2-3 (shingle DF cap, exact-dup rep
+filter, fitted-cell blocking) has its failure mode at a distribution
+edge the benign seed-42 corpora never exercise.  These tests build the
+hostile inputs directly:
+
+- shingle document-frequency EXACTLY at/over the `_MAX_SHINGLE_DF` cap;
+- a large exact-duplicate group (the O(k²) LSH blowup input);
+- clustered + outlier embeddings (the blocking-degeneracy probe).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.dedup import (
+    _MAX_SHINGLE_DF,
+    _jaccard_pairs,
+    _minhash_pairs,
+)
+
+
+# ---------------------------------------------------------- DF-cap boundary
+
+def _df_boundary_corpus(spark):
+    """One boilerplate shingle shared by exactly _MAX_SHINGLE_DF docs
+    (must be KEPT — the boundary is inclusive) and one shared by
+    _MAX_SHINGLE_DF+1 docs (must be DROPPED).  Every doc is otherwise
+    unique, plus one genuine near-dup pair that must survive."""
+    rows = []
+    for i in range(_MAX_SHINGLE_DF):
+        rows.append((i, f"keep cap shingle unique{i} tail{i} x{i}"))
+    for i in range(_MAX_SHINGLE_DF + 1):
+        rows.append((1000 + i, f"drop over shingle unique{i} tl{i} y{i}"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows.append((5000, base))
+    rows.append((5001, base + " lambda"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_df_cap_boundary_keep_and_drop(spark):
+    c = _df_boundary_corpus(spark)
+    from pdf_extractor_spark.queries.dedup import _shingles
+
+    sh_all = _shingles(c).localCheckpoint(eager=False)
+    df_counts = {
+        r.shingle: r.cnt
+        for r in sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # boundary layout is as constructed: exactly at cap vs one over
+    assert df_counts["keep cap shingle"] == _MAX_SHINGLE_DF
+    assert df_counts["drop over shingle"] == _MAX_SHINGLE_DF + 1
+
+    # the capped inverted index keeps the at-cap shingle and drops the
+    # over-cap one (inclusive boundary — the documented `<=` contract)
+    capped = {
+        r.shingle
+        for r in sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle").collect()
+    }
+    assert "keep cap shingle" in capped
+    assert "drop over shingle" not in capped
+
+    # the true near-dup pair survives; boilerplate-only overlap (jaccard
+    # ≈ 1/7 between at-cap group members) pairs nothing
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in _jaccard_pairs(c).collect()}
+    assert (5000, 5001) in pairs
+    assert pairs[(5000, 5001)] >= 0.8
+    others = [p for p in pairs if p != (5000, 5001)]
+    assert not others, f"boilerplate overlap produced pairs: {others}"
+
+
+def test_df_cap_bounds_candidate_fanout(spark):
+    """With the cap in force, per-shingle fan-out (and thus candidate
+    pairs per join key) is bounded by DF² at the cap — the inverted
+    index cannot put a quadratic hot key on one reducer."""
+    c = _df_boundary_corpus(spark)
+    from pdf_extractor_spark.queries.dedup import _shingles
+
+    sh_all = _shingles(c).localCheckpoint(eager=False)
+    capped = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+    )
+    max_df = capped.agg(F.max("df")).collect()[0][0]
+    assert max_df <= _MAX_SHINGLE_DF
+
+
+# ------------------------------------------------- exact-dup group blowup
+
+def test_large_exact_dup_group_emits_linear_pairs(spark):
+    """120 byte-identical copies: the rep pre-filter must emit exactly
+    k-1 pairs (each copy ↔ the min-id representative), never the O(k²)
+    all-pairs an LSH bucket join would produce — at 100 TB boilerplate
+    duplicate groups reach millions of members."""
+    k = 120
+    rows = [(i, "the exact same boilerplate text appears everywhere here")
+            for i in range(k)]
+    rows += [(10_000 + i, f"unique filler document number {i} with words "
+              f"alpha{i} beta{i} gamma{i}") for i in range(20)]
+    c = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = [(r.doc_a, r.doc_b) for r in _minhash_pairs(c).collect()]
+    dup_pairs = [p for p in pairs if p[0] < 10_000 and p[1] < 10_000]
+    assert len(dup_pairs) == k - 1, f"expected {k-1}, got {len(dup_pairs)}"
+    assert all(a == 0 for a, _ in dup_pairs), "all pairs anchor to the rep"
+
+
+# -------------------------------------------- embedding blocking under skew
+
+@pytest.fixture(scope="module")
+def hostile_emb_dir(tmp_path_factory):
+    """Clustered + outlier embeddings written as an sf-style dir, so the
+    cell-blocked near-dup query runs unmodified against it."""
+    from test_similarity import _clustered_corpus
+
+    d = tmp_path_factory.mktemp("hostile")
+    rows = _clustered_corpus(n=400, n_clusters=8, n_outliers=24)
+    tbl = pa.Table.from_pydict({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [[float(x) for x in r[1]] for r in rows],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_cell_blocking_bounded_and_complete_under_skew(spark, hostile_emb_dir):
+    """On hostile skew (tight clusters + outliers) the fitted-cell
+    blocking must stay BOUNDED — the largest block holds a fraction of
+    the corpus, so per-block pair counts don't go quadratic — while
+    still finding every deterministic jitter near-dup (cosine is
+    scale-invariant, so a jittered copy shares its source's cell)."""
+    from pdf_extractor_spark.queries import QUERIES
+    from pdf_extractor_spark.queries.similarity import (
+        _assign_cells,
+        _fitted_centroids,
+    )
+
+    e = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    n = e.count()
+    cents = _fitted_centroids(spark, hostile_emb_dir)
+    cells = _assign_cells(e, cents, "embedding")
+    occ = [
+        r.cnt for r in cells.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ]
+    # block boundedness: sum of per-cell pair counts ≪ all-pairs
+    blocked_pairs = sum(c * (c - 1) // 2 for c in occ)
+    all_pairs = n * (n - 1) // 2
+    assert blocked_pairs / all_pairs < 0.35, (
+        f"blocking degenerated: {blocked_pairs}/{all_pairs}"
+    )
+
+    # completeness: every jittered copy (vec_id % 10 == 0 → +1_000_000)
+    # must appear among the near-dup pairs
+    found = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_embedding_cosine"](
+            spark, hostile_emb_dir).collect()
+    }
+    expected = {
+        (vid, vid + 1_000_000)
+        for (vid,) in e.select("vec_id").collect()
+        if vid % 10 == 0
+    }
+    missing = expected - found
+    assert not missing, f"jitter near-dups lost by blocking: {missing}"
