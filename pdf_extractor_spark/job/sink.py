@@ -89,6 +89,28 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
         .parquet(os.path.join(out_dir, "data", "batch=*"))
 
 
+def write_debug_sample(
+    df: DataFrame,
+    out_dir: str,
+    pct: int = 2,
+    key_cols: tuple[str, ...] = ("conv_id", "span_id"),
+) -> int:
+    """Debug-artifact sink ≙ the reference's per-page image dump
+    (/root/reference/src/pdf_processor.py:63-103 ``save_page_image`` /
+    ``convert_all_pages``: render every page to PNG for human
+    inspection).  The Spark analog dumps a DETERMINISTIC md5-keyed
+    sample of rows as human-readable JSON lines — at 10¹² turns you
+    cannot dump everything, and a random sample would differ run to run,
+    breaking diff-based debugging.  The sample key matches the
+    review_sample convention, so the same rows land in the debug dump on
+    every run and on both engines.  Returns the sampled row count."""
+    key = F.concat_ws("|", *[F.col(c) for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10) % 100
+    sampled = df.filter(bucket < pct)
+    sampled.write.mode("overwrite").json(out_dir)
+    return sampled.sparkSession.read.json(out_dir).count()
+
+
 def stage_corpus(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -297,17 +297,23 @@ _MAX_SHINGLE_DF = 100
 
 
 def _jaccard_pairs(c: DataFrame) -> DataFrame:
-    # consumed by the df-cap computation AND the semi-join: checkpoint so
-    # the corpus derivation + shingle explode runs once
-    sh_all = _shingles(c).localCheckpoint(eager=False)
-    rare = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    # DF cap as a WINDOW over the shingle partitioning: one exchange
+    # keyed on shingle replaces the old agg + semi-join (two passes over
+    # the exploded set).  localCheckpoint preserves the window's hash
+    # partitioning, so when the pair self-join below runs as a
+    # sort-merge join (the at-scale choice; at bench sf Catalyst may
+    # broadcast instead), both sides arrive already clustered on shingle
+    # and the join re-exchanges nothing
+    w = Window.partitionBy("shingle")
+    sh = (
+        _shingles(c)
+        .withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
+        .drop("df")
+        .localCheckpoint(eager=False)
     )
-    # capped shingle set feeds sizes + both sides of the pair join
-    sh = sh_all.join(rare, "shingle", "semi").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

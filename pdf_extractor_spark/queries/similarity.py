@@ -175,16 +175,20 @@ def _cell_scores(emb_col, cents: list[list[float]]):
 
     v = _dvec(emb_col)
     nv = _norm(v)
-    entries = []
-    for j, c in enumerate(cents):
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        cn = F.lit(_math.sqrt(kmeans._dot(c, c)))
-        score = rhu(_dot(v, cl) / (nv * cn), 4)
-        entries.append(F.struct(
-            score.alias("score"),
-            F.lit(-j).cast("bigint").alias("neg_cell"),
-        ))
-    return F.array(*entries)
+    # ONE nested-array literal for the centroid matrix and one for the
+    # norms (precomputed with the identical left fold): a per-centroid
+    # expansion (16 × 64 F.lit leaves + 16 fold subtrees) costs Catalyst
+    # seconds of analysis per query construction — as Literal nodes the
+    # whole expression is a handful of tree nodes
+    matrix = F.lit([[float(x) for x in c] for c in cents])
+    norms = F.lit([_math.sqrt(kmeans._dot(c, c)) for c in cents])
+    return F.transform(
+        matrix,
+        lambda c, j: F.struct(
+            rhu(_dot(v, c) / (nv * norms[j]), 4).alias("score"),
+            (-j).cast("bigint").alias("neg_cell"),
+        ),
+    )
 
 
 def _assign_cells(vecs: DataFrame, cents: list[list[float]],

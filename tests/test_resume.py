@@ -169,6 +169,29 @@ def test_stage_corpus_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(p2).count() == n1 == tdf.count()
 
 
+def test_debug_sample_sink_is_deterministic_and_readable(spark, tmp_path):
+    """S3 (page-image debug dump) analog: the sampled JSON debug sink
+    must pick the SAME rows on every run (md5-keyed, not random), be
+    re-readable, and contain only rows from the source."""
+    from pdf_extractor_spark.job.sink import write_debug_sample
+
+    tdf = transcripts_df(spark, n_convs=10, seed=19)
+    spans = run_extract(tdf).select(
+        "conv_id", "turn_idx", "span_id", "text"
+    ).localCheckpoint()
+
+    d1, d2 = str(tmp_path / "dbg1"), str(tmp_path / "dbg2")
+    n1 = write_debug_sample(spans, d1, pct=10)
+    n2 = write_debug_sample(spans, d2, pct=10)
+    assert n1 == n2 > 0
+
+    r1 = {(r.conv_id, r.span_id) for r in spark.read.json(d1).collect()}
+    r2 = {(r.conv_id, r.span_id) for r in spark.read.json(d2).collect()}
+    assert r1 == r2, "debug sample must be deterministic"
+    full = {(r.conv_id, r.span_id) for r in spans.collect()}
+    assert r1 <= full and len(r1) < len(full)
+
+
 def test_checksum_count_pair_detects_duplicated_write():
     """XOR alone cancels even multiplicities — a doubled bucket write has
     the SAME checksum as the original.  The audit contract is therefore
