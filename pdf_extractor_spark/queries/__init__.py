@@ -6,6 +6,7 @@
 
 from __future__ import annotations
 
+from collections.abc import Mapping
 from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,9 +34,32 @@ assert len(_names) == len(set(_names)), "duplicate query names"
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     q.name: q.fn for q in ALL
 }
-ORACLE_SQL: Dict[str, str] = {
-    q.name: q.sql for q in ALL if q.sql is not None
-}
+
+
+class _LazyOracleSQL(Mapping):
+    """name → oracle SQL, resolving deferred constructors on ACCESS.
+
+    Some oracle strings are expensive to build (dedup_embedding_cosine
+    embeds centroid literals from the mirror k-means fit); executor
+    Python workers import this package for UDF closures, so that work
+    must not run at import time.  ``dict(ORACLE_SQL)`` (the driver's
+    ``oracle_sql()`` contract) materializes everything exactly when the
+    oracle surface is actually requested."""
+
+    def __init__(self, qs) -> None:
+        self._qs = {q.name: q for q in qs if q.sql is not None}
+
+    def __getitem__(self, name: str) -> str:
+        return self._qs[name].sql_text
+
+    def __iter__(self):
+        return iter(self._qs)
+
+    def __len__(self) -> int:
+        return len(self._qs)
+
+
+ORACLE_SQL: Mapping = _LazyOracleSQL(ALL)
 
 
 def get(name: str) -> Q:

@@ -20,7 +20,7 @@ Conventions that make the driver's order-insensitive value-hash stable:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,13 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 class Q:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+    # DuckDB oracle; None → rows-only check.  A zero-arg callable defers
+    # EXPENSIVE construction (e.g. the dedup_embedding_cosine centroid
+    # literals require the mirror k-means fit) out of module import —
+    # executor Python workers import the queries package for UDF
+    # closures and must not pay oracle-side work there.
+    sql: Union[str, Callable[[], str], None]
     doc: str = ""
     # Pin the rehearsal's sf_dir for queries whose oracle is a checked-in
     # expected parquet generated at a specific scale (the driver always
     # compares at sf0.01; a pinned query must run against the same input
     # there too).  None → use whatever sf the harness chose.
     sf_pin: Optional[str] = None
+
+    @property
+    def sql_text(self) -> Optional[str]:
+        """The oracle SQL string, resolving a deferred constructor."""
+        return self.sql() if callable(self.sql) else self.sql
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core import kmeans
-from pdf_extractor_spark.oracle_mirror.ivf import centroid_sql_literals
 from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
 
 _N_QUERIES = 5
@@ -343,7 +342,15 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "score")
 
 
-_DEDUP_COSINE_SQL = f"""
+def _dedup_cosine_sql() -> str:
+    """Oracle SQL with mirror-fit centroid literals — DEFERRED: building
+    it runs the oracle-side k-means (oracle_mirror/ivf.py), which must
+    not execute at module import (executor Python workers import this
+    package for UDF closures; paying a fit per worker showed up as
+    +0.5 s on the first pandas-UDF query of a session)."""
+    from pdf_extractor_spark.oracle_mirror.ivf import centroid_sql_literals
+
+    return f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -378,7 +385,7 @@ WHERE score >= {_NEAR_DUP_THRESHOLD}
 
 
 QUERIES: list[Q] = [
-    Q("dedup_embedding_cosine", _dedup_embedding_cosine, _DEDUP_COSINE_SQL,
+    Q("dedup_embedding_cosine", _dedup_embedding_cosine, _dedup_cosine_sql,
       "embedding-cosine near-dup pairs, blocked by fitted IVF "
       "coarse-quantizer cell"),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,

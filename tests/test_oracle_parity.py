@@ -110,7 +110,7 @@ def test_query_matches_oracle(q, spark, oracle):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    d_arrow = oracle.execute(q.sql).arrow()
+    d_arrow = oracle.execute(q.sql_text).arrow()
     d_cols = d_arrow.schema.names
     d_rows = [tuple(r.values()) for r in d_arrow.to_pylist()]
 
