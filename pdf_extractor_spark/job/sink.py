@@ -104,41 +104,79 @@ def write_debug_sample(
     breaking diff-based debugging.  The sample key matches the
     review_sample convention, so the same rows land in the debug dump on
     every run and on both engines.  Returns the sampled row count."""
+    from pyspark.sql import Observation
+
     key = F.concat_ws("|", *[F.col(c) for c in key_cols])
     bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10) % 100
-    sampled = df.filter(bucket < pct)
+    # Observation piggy-backs the count on the write job itself — no
+    # second pass over the source and no schema-inferring re-read of the
+    # JSON output (which costs two extra scans of the dump)
+    obs = Observation()
+    sampled = df.filter(bucket < pct).observe(
+        obs, F.count(F.lit(1)).alias("n_rows")
+    )
     sampled.write.mode("overwrite").json(out_dir)
-    return sampled.sparkSession.read.json(out_dir).count()
+    return obs.get["n_rows"]
 
 
 def stage_corpus(
-    spark: SparkSession,
     transcripts: DataFrame,
     out_dir: str,
     n_buckets: int,
 ) -> str:
     """Write ``transcripts`` once as a bucket-partitioned parquet layout
     (``corpus/bucket=<b>/``) and return its path; reuse an existing
-    complete staging (``_SUCCESS``) so resumes pay nothing.  This is the
-    single full-input scan of a resumable run — every batch afterwards
-    partition-prunes to its own bucket directories."""
+    complete staging (``_SUCCESS`` + ``_N_BUCKETS``) so resumes pay
+    nothing.  This is the single full-input scan of a resumable run —
+    every batch afterwards partition-prunes to its own bucket dirs.
+
+    The bucket count is PERSISTED next to the staging and validated on
+    reuse: a resume with a different ``n_buckets`` would enumerate
+    bucket ids that don't match the staged directories (silently
+    dropping every row in buckets >= the smaller count) — that mismatch
+    is a hard error, not a silent partial run.  A staging with
+    ``_SUCCESS`` but no ``_N_BUCKETS`` marker is treated as incomplete
+    (crash between the parquet write and the marker) and re-staged."""
     corpus_dir = os.path.join(out_dir, "corpus")
-    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        (
-            transcripts.withColumn("bucket", _bucket_col(n_buckets))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(corpus_dir)
-        )
+    meta_path = os.path.join(corpus_dir, "_N_BUCKETS")
+    if os.path.exists(os.path.join(corpus_dir, "_SUCCESS")) and \
+            os.path.exists(meta_path):
+        with open(meta_path) as f:
+            staged_n = int(f.read().strip())
+        if staged_n != n_buckets:
+            raise ValueError(
+                f"staged corpus at {corpus_dir} was bucketed with "
+                f"n_buckets={staged_n}, run requested {n_buckets}; "
+                "resume with the original bucket count or clear the "
+                "output dir"
+            )
+        return corpus_dir
+    (
+        transcripts.withColumn("bucket", _bucket_col(n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(corpus_dir)
+    )
+    with open(meta_path, "w") as f:
+        f.write(f"{n_buckets}\n")
     return corpus_dir
 
 
 def batch_input(spark: SparkSession, corpus_dir: str,
-                buckets: list[int]) -> DataFrame:
+                buckets: list[int], schema=None) -> DataFrame:
     """One batch's slice of the staged corpus.  The filter lands on the
     partition column, so the scan's PartitionFilters prune to the
-    batch's directories — no bytes of other buckets are read."""
-    return spark.read.parquet(corpus_dir).filter(
+    batch's directories — no bytes of other buckets are read.
+
+    ``schema`` (the staged layout's schema, bucket column included)
+    makes the read total on an EMPTY staging: a zero-row corpus writes
+    only ``_SUCCESS``, and a schema-inferring read of it would raise
+    UNABLE_TO_INFER_SCHEMA — an upstream window that legitimately
+    yields no rows must produce an empty committed output, not abort."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(corpus_dir).filter(
         F.col("bucket").isin(buckets)
     )
 
@@ -164,12 +202,18 @@ def run_resumable(
 
     processed = 0
     skipped = 0
-    corpus_dir = stage_corpus(spark, transcripts, out_dir, n_buckets)
+    corpus_dir = stage_corpus(transcripts, out_dir, n_buckets)
+    # the staged layout's schema = input schema + the bucket partition
+    # column; passing it keeps batch reads total on an empty staging
+    staged_schema = transcripts.withColumn(
+        "bucket", _bucket_col(n_buckets)
+    ).schema
     for batch_id in sorted(groups):
         if batch_id in done:
             skipped += 1
             continue
-        batch_in = batch_input(spark, corpus_dir, groups[batch_id])
+        batch_in = batch_input(spark, corpus_dir, groups[batch_id],
+                               schema=staged_schema)
         t0 = time.time()
         spans = run_extract(batch_in.drop("bucket"))
         spans = spans.withColumn("bucket", _bucket_col(n_buckets))

@@ -31,12 +31,18 @@ takes an ``O_CREAT|O_EXCL`` commit lock for the read→merge→swap span and
 re-verifies the pointer is unchanged before the swap (a crashed writer
 leaves a stale lock; ``force_unlock`` clears it after operator review —
 the same manual-recovery contract as a stale Iceberg lock table entry).
+Each attempt writes its data to a unique ``_staging-*`` dir that is
+renamed to ``snapshot=<n>`` only after the CAS passes, so a racing
+writer that loses the CAS never touches committed files (Iceberg's
+unique-data-file-path discipline).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,8 +70,14 @@ def _commit_pointer(table_dir: str, snapshot: int) -> None:
     os.replace(tmp, os.path.join(table_dir, _LATEST))
 
 
-def _acquire_lock(table_dir: str) -> str:
+def _acquire_lock(table_dir: str) -> tuple[str, str]:
+    """Take the commit lock; returns (path, owner token).  The token is
+    written into the lock file so release can verify ownership — after a
+    ``force_unlock``, this writer's lock may have been cleared and a NEW
+    writer's live lock may sit at the same path; blind unlink would
+    delete it and reopen the race for a third writer."""
     path = os.path.join(table_dir, _LOCK)
+    token = f"pid={os.getpid()} token={uuid.uuid4().hex}"
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -74,8 +86,22 @@ def _acquire_lock(table_dir: str) -> str:
             "if it crashed, clear with force_unlock)"
         ) from None
     with os.fdopen(fd, "w") as f:
-        f.write(f"pid={os.getpid()}\n")
-    return path
+        f.write(token + "\n")
+    return path, token
+
+
+def _release_lock(path: str, token: str) -> None:
+    """Unlink the lock only if this writer still owns it (the token
+    matches).  A force-unlocked or replaced lock is left alone, and a
+    missing lock is not an error — release must never mask an in-flight
+    ConcurrentWriteError with a FileNotFoundError."""
+    try:
+        with open(path) as f:
+            if f.read().strip() != token:
+                return
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
 
 
 def force_unlock(table_dir: str) -> None:
@@ -109,7 +135,13 @@ def merge_upsert(
     Returns the committed snapshot id.
     """
     os.makedirs(table_dir, exist_ok=True)
-    lock = _acquire_lock(table_dir)
+    lock, lock_token = _acquire_lock(table_dir)
+    # every attempt writes to its OWN staging dir, never directly to the
+    # deterministic snapshot path: a writer that slipped past the lock
+    # (post-force_unlock race) must not clobber a concurrently COMMITTED
+    # snapshot's files before its CAS check fires — Iceberg writes data
+    # files to unique paths for the same reason
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
     try:
         base = _latest_snapshot(table_dir)
         current = read_table(spark, table_dir)
@@ -128,9 +160,7 @@ def merge_upsert(
             merged = survivors.unionByName(updates)
             snap = base + 1
 
-        merged.write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"snapshot={snap}")
-        )
+        merged.write.mode("overwrite").parquet(staging)
         # CAS: the snapshot we merged against must still be current —
         # a writer that slipped past the lock (e.g. after force_unlock)
         # must not have its merge silently discarded
@@ -139,10 +169,19 @@ def merge_upsert(
                 f"pointer moved from snapshot {base} during commit; "
                 "retry the merge against the new snapshot"
             )
+        snap_path = os.path.join(table_dir, f"snapshot={snap}")
+        # a leftover dir here is UNCOMMITTED garbage (the pointer still
+        # reads `base`, so no reader resolves it) from a writer that
+        # crashed between write and swap — safe to clear under the lock
+        if os.path.exists(snap_path):
+            shutil.rmtree(snap_path)
+        os.rename(staging, snap_path)
         # COMMIT POINT — readers only see the snapshot after the swap
         _commit_pointer(table_dir, snap)
     finally:
-        os.unlink(lock)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        _release_lock(lock, lock_token)
     return snap
 
 

@@ -24,8 +24,11 @@
 Oracle input pin: ann_ivf's expected parquet and the centroid literals
 inside the dedup_embedding_cosine oracle SQL are generated from
 /root/testdata/sf0.01/embeddings.parquet — the driver's sf0.01 compare
-input must be that same dataset (it is; TESTDATA.md), and
-tests/test_oracle_parity.py rehearses with the same pin (Q.sf_pin).
+input must be that same dataset (it is; TESTDATA.md).  BOTH queries
+carry ``Q.sf_pin``: tests/test_oracle_parity.py runs a pinned query's
+Spark side at the pin AND registers the oracle's DuckDB views from the
+pin, so the rehearsal never pairs an sf0.001 corpus with an sf0.01
+quantizer.
 """
 
 from __future__ import annotations
@@ -385,9 +388,17 @@ WHERE score >= {_NEAR_DUP_THRESHOLD}
 
 
 QUERIES: list[Q] = [
+    # sf_pin: the oracle SQL embeds centroid literals from the mirror fit
+    # on the PINNED sf0.01 input, so the Spark side must fit on the same
+    # input — at any other sf the two sides would block on different
+    # quantizers and agree only by coincidence (pairs that co-cell under
+    # both fits).  The driver compares at sf0.01, where pin and harness
+    # dir coincide; the rehearsal honors the pin for BOTH the Spark input
+    # and the oracle's DuckDB views.
     Q("dedup_embedding_cosine", _dedup_embedding_cosine, _dedup_cosine_sql,
       "embedding-cosine near-dup pairs, blocked by fitted IVF "
-      "coarse-quantizer cell"),
+      "coarse-quantizer cell (pinned sf0.01 quantizer oracle)",
+      sf_pin=_PINNED_SF),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),
     Q("ann_ivf", _ann_ivf,

@@ -61,5 +61,14 @@ def ensure_workers(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
+    if not os.path.isdir(_PKG_DIR):
+        # the package was itself imported from a zip — i.e. this driver
+        # was launched `spark-submit --py-files pdf_extractor_spark.zip`,
+        # and spark-submit already distributes that zip to every worker.
+        # Re-zipping would walk a path inside the archive (empty result)
+        # and re-register the same filename with different content,
+        # which SparkContext.addPyFile rejects.
+        _SHIPPED.add(app_id)
+        return
     spark.sparkContext.addPyFile(package_zip())
     _SHIPPED.add(app_id)

@@ -104,13 +104,28 @@ def _spark_type_token(t) -> str:
     return t.simpleString()
 
 
+def _pinned_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 @pytest.mark.parametrize("q", SQL_CHECKED, ids=lambda q: q.name)
 def test_query_matches_oracle(q, spark, oracle):
     sdf = q.fn(spark, q.sf_pin or SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    d_arrow = oracle.execute(q.sql_text).arrow()
+    # a pinned query's oracle must ALSO read the pinned corpus: e.g.
+    # dedup_embedding_cosine's SQL embeds centroid literals fitted on the
+    # pin — pairing them with this module's default sf views would block
+    # Spark and DuckDB on different quantizers
+    con = oracle if q.sf_pin in (None, SF_DIR) else _pinned_con(q.sf_pin)
+    d_arrow = con.execute(q.sql_text).arrow()
     d_cols = d_arrow.schema.names
     d_rows = [tuple(r.values()) for r in d_arrow.to_pylist()]
 

@@ -162,11 +162,38 @@ def test_staged_corpus_freezes_resume_inputs(spark, tmp_path):
 def test_stage_corpus_is_idempotent(spark, tmp_path):
     tdf = transcripts_df(spark, n_convs=5, seed=29)
     out = str(tmp_path / "out")
-    p1 = stage_corpus(spark, tdf, out, n_buckets=4)
+    p1 = stage_corpus(tdf, out, n_buckets=4)
     n1 = spark.read.parquet(p1).count()
-    p2 = stage_corpus(spark, tdf, out, n_buckets=4)
+    p2 = stage_corpus(tdf, out, n_buckets=4)
     assert p1 == p2
     assert spark.read.parquet(p2).count() == n1 == tdf.count()
+
+
+def test_stage_corpus_rejects_bucket_count_change(spark, tmp_path):
+    """A resume with a different n_buckets would enumerate bucket ids
+    that don't cover the staged directories — every row in the dropped
+    buckets would silently never reach a batch.  Must hard-fail."""
+    tdf = transcripts_df(spark, n_convs=5, seed=29)
+    out = str(tmp_path / "out")
+    stage_corpus(tdf, out, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        run_resumable(spark, tdf, out, n_buckets=4, n_batches=2)
+    # and an incomplete staging (marker missing) is re-staged, not reused
+    os.unlink(os.path.join(out, "corpus", "_N_BUCKETS"))
+    p = stage_corpus(tdf, out, n_buckets=4)
+    assert open(os.path.join(p, "_N_BUCKETS")).read().strip() == "4"
+    summary = run_resumable(spark, tdf, out, n_buckets=4, n_batches=2)
+    assert summary["complete"]
+
+
+def test_run_resumable_empty_input(spark, tmp_path):
+    """A source window that legitimately yields zero rows must commit an
+    empty output, not abort on the schema-less staged corpus."""
+    tdf = transcripts_df(spark, n_convs=3, seed=31).limit(0)
+    out = str(tmp_path / "out")
+    summary = run_resumable(spark, tdf, out, n_buckets=4, n_batches=2)
+    assert summary["complete"]
+    assert read_output(spark, out).count() == 0
 
 
 def test_debug_sample_sink_is_deterministic_and_readable(spark, tmp_path):

@@ -103,6 +103,73 @@ def test_concurrent_writer_blocked_by_commit_lock(spark, table_dir):
     assert not os.path.exists(os.path.join(table_dir, "_COMMIT_LOCK"))
 
 
+def test_cas_loser_does_not_clobber_committed_snapshot(
+    spark, table_dir, monkeypatch
+):
+    """A writer that slipped past the lock (post-force_unlock race) and
+    loses the pointer CAS must leave the winner's committed snapshot
+    byte-intact: attempts write to a unique staging dir and only rename
+    into ``snapshot=<n>`` AFTER the CAS passes."""
+    import pdf_extractor_spark.job.upsert as up
+
+    base = spark.createDataFrame([("a", "accepted", 1)], SCHEMA)
+    merge_upsert(spark, table_dir, base, ["qa_id"])  # snapshot 0
+
+    real = up._latest_snapshot
+    calls = {"n": 0}
+
+    def racy(td):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # between A's base read and its merge write, writer B commits
+            # snapshot 1 out from under A
+            spark.createDataFrame([("b", "by-B", 2)], SCHEMA) \
+                .write.parquet(os.path.join(td, "snapshot=1"))
+            up._commit_pointer(td, 1)
+        return real(td)
+
+    monkeypatch.setattr(up, "_latest_snapshot", racy)
+    updates = spark.createDataFrame([("a", "by-A", 3)], SCHEMA)
+    with pytest.raises(ConcurrentWriteError, match="pointer moved"):
+        merge_upsert(spark, table_dir, updates, ["qa_id"])
+    monkeypatch.setattr(up, "_latest_snapshot", real)
+
+    # B's committed snapshot survives A's losing attempt verbatim
+    assert _latest_snapshot(table_dir) == 1
+    assert ("b", "by-B", 2) in _rows(read_table(spark, table_dir))
+    assert ("a", "by-A", 3) not in _rows(read_table(spark, table_dir))
+    # no staging garbage, and the lock was released despite the raise
+    leftovers = [d for d in os.listdir(table_dir)
+                 if d.startswith("_staging-")]
+    assert leftovers == []
+    assert not os.path.exists(os.path.join(table_dir, "_COMMIT_LOCK"))
+    # A can retry against the new snapshot and win cleanly
+    merge_upsert(spark, table_dir, updates, ["qa_id"])
+    assert ("a", "by-A", 3) in _rows(read_table(spark, table_dir))
+
+
+def test_release_after_force_unlock_spares_new_writers_lock(
+    spark, table_dir
+):
+    """If an operator force-unlocks writer A mid-commit and writer B
+    takes a fresh lock at the same path, A's release must NOT delete
+    B's live lock (ownership is token-checked), and a vanished lock
+    must not raise out of release."""
+    from pdf_extractor_spark.job.upsert import _acquire_lock, _release_lock
+
+    os.makedirs(table_dir, exist_ok=True)
+    path_a, token_a = _acquire_lock(table_dir)
+    force_unlock(table_dir)          # operator thinks A crashed
+    # release of a vanished lock is a no-op, not FileNotFoundError
+    _release_lock(path_a, token_a)
+
+    path_b, token_b = _acquire_lock(table_dir)   # B's live lock
+    _release_lock(path_a, token_a)   # A's late release
+    assert os.path.exists(path_b), "B's live lock must survive"
+    _release_lock(path_b, token_b)
+    assert not os.path.exists(path_b)
+
+
 def test_latest_reviews_view_collapses_log(spark):
     log = spark.createDataFrame(
         [("a", "rejected", 1), ("a", "accepted", 5), ("b", "skipped", 2)],
