@@ -1,0 +1,141 @@
+"""Persisted IVF index: build once, search many, extend without refit.
+
+The ``ann_ivf`` query demonstrates the IVF *plan* (fitted coarse
+quantizer, top-``n_probe`` cell search) but re-assigns the whole corpus
+on every call — right for a self-contained benchmark query, wrong for a
+production deployment, where the index build is paid ONCE and each
+search should touch only the probed fraction of the *storage*, not just
+of the shuffle.  This module persists the index in the layout that makes
+that true at 100 TB:
+
+- ``<index>/centroids/``  — the K fitted centroids (tiny, one file);
+- ``<index>/cells/cell_id=<c>/`` — every vector, partitioned by its
+  nearest-centroid cell.  A search enumerates its probe cells (a
+  driver-side list of ``n_queries × n_probe`` ints), and the cell scan's
+  PartitionFilters prune to those directories — at K=1024 cells and
+  n_probe=8, a query reads <1% of the corpus FILES.  The benchmark
+  query's shape only reduced the shuffle; this reduces the scan.
+
+``add_vectors`` assigns new vectors with the STORED centroids and
+appends their cell partitions — the standard IVF maintenance path (new
+data lands in existing cells; refit is an offline rebuild, not a
+serving-path operation).
+
+Fit, assignment, probe, and scoring all reuse the exact expressions of
+``queries/similarity.py``, so ``search`` over a freshly built index is
+row-identical to the ``ann_ivf`` query on the same corpus
+(tests/test_ivf_index.py pins that, plus the partition-pruned plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.base import load
+from pdf_extractor_spark.queries.similarity import (
+    _N_PROBE,
+    _TOP_K,
+    _assign_cells,
+    _fitted_centroids,
+    _probe_cells,
+    _with_cosine,
+)
+
+
+def _cells_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "cells")
+
+
+def _centroids_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids")
+
+
+def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> int:
+    """Fit the coarse quantizer on ``sf_dir``'s embeddings and persist
+    centroids + cell-partitioned vectors.  Returns the vector count."""
+    cents = _fitted_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _assign_cells(e, cents, "embedding")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(_cells_dir(index_dir))
+    )
+    (
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell_id int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_centroids_dir(index_dir))
+    )
+    return spark.read.parquet(_cells_dir(index_dir)).count()
+
+
+def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    rows = spark.read.parquet(_centroids_dir(index_dir)).collect()
+    return [
+        [float(x) for x in r.centroid]
+        for r in sorted(rows, key=lambda r: r.cell_id)
+    ]
+
+
+def add_vectors(spark: SparkSession, index_dir: str,
+                vectors: DataFrame) -> int:
+    """Assign ``vectors`` (vec_id, embedding) with the STORED centroids
+    and append them to their cell partitions — no refit, no rewrite of
+    existing cells.  Returns the number of vectors added."""
+    cents = load_centroids(spark, index_dir)
+    assigned = _assign_cells(
+        vectors.select("vec_id", "embedding"), cents, "embedding"
+    )
+    n = assigned.count()
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(_cells_dir(index_dir))
+    )
+    return n
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    top_k: int = _TOP_K,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
+    """Top-``top_k`` neighbors per query row (q_id, q_emb) from the
+    persisted index.  The probe-cell set is collected to the driver (a
+    ``n_queries × n_probe`` int list) and pushed into the cell scan as a
+    LITERAL partition predicate, so the read prunes to the probed
+    directories — the scan-level saving the persisted layout exists for.
+    """
+    cents = load_centroids(spark, index_dir)
+    probes = _probe_cells(queries, "q_emb", cents, n_probe)
+    probe_cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    cells = spark.read.parquet(_cells_dir(index_dir)).filter(
+        F.col("cell_id").isin(probe_cells)
+    ).select(
+        "cell_id",
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+    )
+    cand = probes.join(cells, "cell_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = _with_cosine(cand, "q_emb", "n_emb")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "rank", "n_id", "score", "cell_id")
+    )

@@ -1,0 +1,109 @@
+"""Persisted IVF index: equality with the ann_ivf query, scan-level
+partition pruning, and refit-free incremental adds."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.job.ivf_index import (
+    add_vectors,
+    build_index,
+    load_centroids,
+    search,
+)
+from pdf_extractor_spark.queries.base import load
+from pdf_extractor_spark.queries.similarity import (
+    _N_QUERIES,
+    _ann_ivf,
+    _fitted_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries_df(spark):
+    return (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"))
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_search_matches_ann_ivf_query(spark, tmp_path):
+    """A fresh index over the same corpus must return row-identical
+    results to the self-contained ann_ivf query (same fit, same probes,
+    same scoring expressions)."""
+    idx = str(tmp_path / "ivf")
+    n = build_index(spark, SF_DIR, idx)
+    assert n == load(spark, SF_DIR, "embeddings").count()
+
+    got = search(spark, idx, _queries_df(spark))
+    want = _ann_ivf(spark, SF_DIR)
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+
+    # persisted centroids round-trip exactly (parquet doubles are the
+    # same IEEE values the fit produced — assignment stays bit-identical)
+    assert load_centroids(spark, idx) == _fitted_centroids(spark, SF_DIR)
+
+
+def test_search_scan_is_partition_pruned(spark, tmp_path):
+    """The probed cells reach the cell scan as PartitionFilters: a
+    search reads only its probe directories, not the whole index — the
+    scan-level saving that distinguishes the persisted index from the
+    query-shape (which re-scans the corpus to assign cells)."""
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+    result = search(spark, idx, _queries_df(spark))
+    plan = result._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln for ln in pf_lines), plan
+
+
+def test_add_vectors_without_refit(spark, tmp_path):
+    """New vectors are assigned with the stored centroids and appended
+    to their cells; a subsequent search finds an appended near-duplicate
+    at rank 1 without any refit or rewrite of existing partitions."""
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+    cents_before = load_centroids(spark, idx)
+
+    # near-duplicates of the query vectors (cosine-invariant jitter)
+    e = load(spark, SF_DIR, "embeddings")
+    dups = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    n_added = add_vectors(spark, idx, dups)
+    assert n_added == _N_QUERIES
+    assert load_centroids(spark, idx) == cents_before, "no refit"
+
+    hits = search(spark, idx, _queries_df(spark)).filter(
+        F.col("rank") == 1
+    )
+    top1 = {r.q_id: r.n_id for r in hits.collect()}
+    # every query's rank-1 neighbor is now its jittered copy
+    assert top1 == {q: q + 1_000_000 for q in range(_N_QUERIES)}
+
+
+def test_index_layout_is_cell_partitioned(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+    cell_dirs = [
+        d for d in os.listdir(os.path.join(idx, "cells"))
+        if d.startswith("cell_id=")
+    ]
+    assert len(cell_dirs) > 1, "vectors must spread across cell dirs"
