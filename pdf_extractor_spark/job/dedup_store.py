@@ -1,0 +1,181 @@
+"""Incremental dedup: check a new batch against a PERSISTED signature
+store without ever re-shuffling the corpus.
+
+The dedup *queries* (queries/dedup.py) are batch self-joins — right for
+a one-shot corpus pass, wrong for the production cadence of a
+training-data pipeline, where data arrives in batches and each batch
+must be checked against everything already accepted.  Re-running the
+self-join over corpus+batch re-reads and re-shuffles the full corpus
+per batch — the read-amplification mistake the resumable sink already
+closed, reappearing at the dedup layer.
+
+The store persists two BUCKETED tables (Spark datasource bucketing —
+the storage layout IS the hash partitioning):
+
+- ``<name>_fp``    — (doc_id, fingerprint), bucketed by fingerprint:
+  exact-dup membership;
+- ``<name>_bands`` — (doc_id, band_no, band_hash) LSH band rows
+  (identical band construction to the ``dedup_minhash_lsh`` query via
+  the shared ``queries.dedup.band_rows``), bucketed by band_hash:
+  near-dup candidates.
+
+``check_batch`` joins the (small) batch against each table on the
+bucket key.  Because the store's layout already satisfies the join's
+required distribution, the corpus-sized side needs NO exchange — only
+O(batch) rows move, at ANY store size (tests/test_dedup_store.py pins
+the bucketed scan + single batch-side exchange).  ``add_batch`` appends
+the batch's signatures through the same bucket spec, so the invariant
+survives growth.  At 100 TB this is the difference between a nightly
+dedup that shuffles 100 TB and one that shuffles the day's intake.
+
+Store tables live in the session catalog over an explicit filesystem
+path; ``open_store`` re-registers them from the path after a restart
+(the catalog entry is metadata — the bucketed files are the store).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.dedup import band_rows
+
+N_STORE_BUCKETS = 16
+
+_FP_SCHEMA = "doc_id BIGINT, fingerprint STRING"
+_BANDS_SCHEMA = "doc_id BIGINT, band_no INT, band_hash STRING"
+
+
+def _fp_table(name: str) -> str:
+    return f"{name}_fp"
+
+
+def _bands_table(name: str) -> str:
+    return f"{name}_bands"
+
+
+def _fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+def create_store(spark: SparkSession, store_dir: str, name: str,
+                 docs: DataFrame) -> None:
+    """Create the store from an initial corpus (may be empty)."""
+    fp = _fingerprints(docs)
+    (
+        fp.write.format("parquet").mode("overwrite")
+        .bucketBy(N_STORE_BUCKETS, "fingerprint")
+        .sortBy("fingerprint")
+        .option("path", os.path.join(store_dir, "fp"))
+        .saveAsTable(_fp_table(name))
+    )
+    # bands only for one representative per distinct text: copies share
+    # every band with their rep, so storing them would only multiply
+    # candidate pairs (same rep-filter as the dedup_minhash_lsh query)
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    ).join(reps, "doc_id", "semi")
+    (
+        band_rows(rep_docs).write.format("parquet").mode("overwrite")
+        .bucketBy(N_STORE_BUCKETS, "band_hash")
+        .sortBy("band_hash")
+        .option("path", os.path.join(store_dir, "bands"))
+        .saveAsTable(_bands_table(name))
+    )
+
+
+def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
+    """Re-register the store's tables from their files after a restart —
+    the bucketed files are the store; the catalog entry is metadata."""
+    for table, schema, sub, key in (
+        (_fp_table(name), _FP_SCHEMA, "fp", "fingerprint"),
+        (_bands_table(name), _BANDS_SCHEMA, "bands", "band_hash"),
+    ):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({schema}) "
+            f"USING PARQUET CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {N_STORE_BUCKETS} BUCKETS "
+            f"LOCATION '{os.path.join(store_dir, sub)}'"
+        )
+
+
+def check_batch(spark: SparkSession, name: str,
+                batch: DataFrame) -> dict[str, DataFrame]:
+    """Check a (doc_id, text) batch against the store.
+
+    Returns ``{"exact": (doc_id, dup_of), "near": (doc_id, near_of)}`` —
+    exact matches pair each batch doc with the smallest store doc
+    sharing its fingerprint; near candidates pair batch docs with store
+    docs sharing an LSH band (excluding docs that already matched
+    exactly, and excluding identity when re-checking ingested docs).
+    The store side of both joins reads its bucketed layout, so neither
+    join exchanges the corpus-sized table."""
+    fp = _fingerprints(batch)
+    store_fp = spark.table(_fp_table(name))
+    exact = (
+        fp.alias("b")
+        .join(store_fp.alias("s"),
+              F.col("b.fingerprint") == F.col("s.fingerprint"))
+        .filter(F.col("b.doc_id") != F.col("s.doc_id"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("s.doc_id")).alias("dup_of"))
+    )
+    batch_bands = band_rows(
+        batch.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    )
+    store_bands = spark.table(_bands_table(name))
+    near = (
+        batch_bands.alias("b")
+        .join(
+            store_bands.alias("s"),
+            (F.col("b.band_hash") == F.col("s.band_hash"))
+            & (F.col("b.band_no") == F.col("s.band_no"))
+            & (F.col("b.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("s.doc_id").alias("near_of"),
+        )
+        .distinct()
+        .join(exact.select("doc_id"), "doc_id", "anti")
+    )
+    return {"exact": exact, "near": near}
+
+
+def add_batch(spark: SparkSession, name: str, batch: DataFrame) -> None:
+    """Ingest a batch: append its fingerprints, and band rows for docs
+    whose text is NEW to the store (reps of unseen fingerprints).
+    Appends go through the same bucket spec, so the no-shuffle check
+    invariant survives store growth."""
+    fp = _fingerprints(batch)
+    store_fp = spark.table(_fp_table(name))
+    new_fp = fp.join(store_fp, "fingerprint", "anti")
+    new_reps = new_fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    rep_docs = batch.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    ).join(new_reps, "doc_id", "semi")
+    # materialize the new-rep band rows BEFORE appending fingerprints:
+    # both derive from anti-joins against the store tables being written
+    new_bands = band_rows(rep_docs).localCheckpoint(eager=True)
+    new_fp = new_fp.select("doc_id", "fingerprint") \
+        .localCheckpoint(eager=True)
+    (
+        new_fp.write.format("parquet").mode("append")
+        .bucketBy(N_STORE_BUCKETS, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(_fp_table(name))
+    )
+    (
+        new_bands.write.format("parquet").mode("append")
+        .bucketBy(N_STORE_BUCKETS, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(_bands_table(name))
+    )

@@ -146,6 +146,39 @@ _SHINGLES_SQL = _shingles_sql("corpus")
 
 # ----------------------------------------------------------- minhash + LSH
 
+def band_rows(c: DataFrame) -> DataFrame:
+    """(doc_id, band_no, band_hash) LSH band rows for a (doc_id, text)
+    corpus — shingle → K minhash signatures → banded hashes, all in one
+    pass over the signature aggregate (a per-band union branch would
+    recompute the agg once per band).  Shared by the self-join dedup
+    query and the incremental dedup store (job/dedup_store.py), so both
+    produce identical band keys for identical text."""
+    sh = _shingles(c)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
+            .alias(f"sig{k}")
+            for k in range(_N_MINHASH)
+        ]
+    )
+    n_bands = _N_MINHASH // _BAND_ROWS
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band_no"),
+            F.md5(F.concat_ws(
+                "|",
+                *[F.col(f"sig{b * _BAND_ROWS + r}")
+                  for r in range(_BAND_ROWS)],
+            )).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band_no", "bb.band_hash")
+    )
+
+
 def _minhash_pairs(c: DataFrame, fp: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs for a (doc_id, text) corpus.
 
@@ -180,36 +213,9 @@ def _minhash_pairs(c: DataFrame, fp: DataFrame | None = None) -> DataFrame:
     rep_corpus = c.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
     )
-    sh = _shingles(rep_corpus)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
-            .alias(f"sig{k}")
-            for k in range(_N_MINHASH)
-        ]
-    )
-    n_bands = _N_MINHASH // _BAND_ROWS
-    # ONE pass over sigs: project every band as a struct and explode —
-    # the previous 4-way unionByName recomputed the signature aggregation
-    # once per band branch before the checkpoint materialized it
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).cast("int").alias("band_no"),
-            F.md5(F.concat_ws(
-                "|",
-                *[F.col(f"sig{b * _BAND_ROWS + r}")
-                  for r in range(_BAND_ROWS)],
-            )).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ])
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", "bb.band_no", "bb.band_hash")
-    )
     # both sides of the LSH self-join read bands — checkpoint so the
     # signature aggregation runs once
-    bands = bands.localCheckpoint(eager=False)
+    bands = band_rows(rep_corpus).localCheckpoint(eager=False)
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (

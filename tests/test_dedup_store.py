@@ -1,0 +1,122 @@
+"""Incremental dedup store: exact/near detection across batches,
+identity-safe re-checks, catalog re-registration after restart, and the
+no-store-shuffle bucketed-join plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.job.dedup_store import (
+    add_batch,
+    check_batch,
+    create_store,
+    open_store,
+)
+from pdf_extractor_spark.queries.base import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark, n=10):
+    return (
+        load(spark, SF_DIR, "documents")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .filter(F.col("doc_id") < n)
+    )
+
+
+def _batch(spark):
+    """100 = exact copy of doc 3, 101 = near copy of doc 5 (first word
+    dropped — the dedup-query near-dup derivation), 102 = fresh text."""
+    base = _corpus(spark).filter(F.col("doc_id").isin([3, 5]))
+    exact = base.filter(F.col("doc_id") == 3).select(
+        F.lit(100).cast("bigint").alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") == 5).select(
+        F.lit(101).cast("bigint").alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    fresh = base.sparkSession.createDataFrame(
+        [(102, "a genuinely new document that matches nothing else xyz")],
+        "doc_id bigint, text string",
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    name = f"dstore_{abs(hash(str(tmp_path))) % 10 ** 8}"
+    create_store(spark, str(tmp_path / "store"), name, _corpus(spark))
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+
+
+def test_check_batch_flags_exact_and_near(spark, store):
+    got = check_batch(spark, store, _batch(spark))
+    exact = {(r.doc_id, r.dup_of) for r in got["exact"].collect()}
+    near = {(r.doc_id, r.near_of) for r in got["near"].collect()}
+    assert exact == {(100, 3)}
+    assert (101, 5) in near
+    flagged = {d for d, _ in exact} | {d for d, _ in near}
+    assert 102 not in flagged, "fresh doc must pass clean"
+
+
+def test_recheck_after_ingest_is_identity_safe(spark, store):
+    batch = _batch(spark)
+    add_batch(spark, store, batch)
+    again = check_batch(spark, store, batch)
+    exact = {(r.doc_id, r.dup_of) for r in again["exact"].collect()}
+    # 100 still resolves to doc 3 (its fingerprint was never re-added —
+    # it was a known text), and the now-ingested fresh doc matches only
+    # itself, which the identity filter excludes
+    assert exact == {(100, 3)}
+    assert 102 not in {r.doc_id for r in again["near"].collect()}
+
+    # a later batch duplicating the ingested fresh doc is caught
+    copy = spark.createDataFrame(
+        [(200, "a genuinely new document that matches nothing else xyz")],
+        "doc_id bigint, text string",
+    )
+    later = check_batch(spark, store, copy)
+    assert {(r.doc_id, r.dup_of) for r in later["exact"].collect()} == {
+        (200, 102)
+    }
+
+
+def test_open_store_reregisters_from_files(spark, store, tmp_path):
+    n_fp = spark.table(f"{store}_fp").count()
+    n_bands = spark.table(f"{store}_bands").count()
+    spark.sql(f"DROP TABLE {store}_fp")
+    spark.sql(f"DROP TABLE {store}_bands")
+    open_store(spark, str(tmp_path / "store"), store)
+    assert spark.table(f"{store}_fp").count() == n_fp
+    assert spark.table(f"{store}_bands").count() == n_bands
+    got = check_batch(spark, store, _batch(spark))
+    assert {(r.doc_id, r.dup_of) for r in got["exact"].collect()} == {
+        (100, 3)
+    }
+
+
+def test_store_side_never_shuffles(spark, store):
+    """The whole point of the bucketed layout: with broadcast disabled
+    (the at-scale planner choice — a real batch is too big to
+    broadcast), the store scan satisfies the join distribution from its
+    buckets.  The corpus-sized side moves zero rows at any store size."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = check_batch(spark, store, _batch(spark))
+        for kind in ("exact", "near"):
+            plan = got[kind]._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+            assert "SortMergeJoin" in plan, (kind, plan)
+            assert "Bucketed: true" in plan, (
+                f"{kind}: store scan must use its bucketed layout\n{plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
