@@ -57,14 +57,25 @@ def _bands_table(name: str) -> str:
 
 
 def _fingerprints(docs: DataFrame) -> DataFrame:
+    # NULL text is fingerprinted as the empty string: md5(NULL) is NULL,
+    # and an equi-join never matches NULL keys — a NULL-text doc would
+    # otherwise be reported clean forever no matter how many NULL-text
+    # docs the store holds.  Coalescing merges the NULL and empty-text
+    # dup groups (both are content-free; both also produce zero band
+    # rows, so the near path treats them identically).
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.md5("text").alias("fingerprint"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint"),
     )
 
 
-def create_store(spark: SparkSession, store_dir: str, name: str,
-                 docs: DataFrame) -> None:
+def _write_meta(store_dir: str) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, "_N_BUCKETS"), "w") as f:
+        f.write(f"{N_STORE_BUCKETS}\n")
+
+
+def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
     """Create the store from an initial corpus (may be empty)."""
     fp = _fingerprints(docs)
     (
@@ -88,11 +99,28 @@ def create_store(spark: SparkSession, store_dir: str, name: str,
         .option("path", os.path.join(store_dir, "bands"))
         .saveAsTable(_bands_table(name))
     )
+    _write_meta(store_dir)
 
 
 def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
     """Re-register the store's tables from their files after a restart —
-    the bucketed files are the store; the catalog entry is metadata."""
+    the bucketed files are the store; the catalog entry is metadata.
+
+    The bucket count the files were WRITTEN with is persisted and
+    validated first: bucket ids are baked into file names, so
+    re-registering 16-bucket files as a 32-bucket table would make the
+    bucketed join probe the wrong partition and silently report real
+    duplicates as clean (the same silent-mismatch class the resumable
+    sink's _N_BUCKETS marker guards against)."""
+    meta_path = os.path.join(store_dir, "_N_BUCKETS")
+    with open(meta_path) as f:
+        stored = int(f.read().strip())
+    if stored != N_STORE_BUCKETS:
+        raise ValueError(
+            f"store at {store_dir} was written with {stored} buckets, "
+            f"this build expects {N_STORE_BUCKETS}; rebuild the store or "
+            "run a matching build"
+        )
     for table, schema, sub, key in (
         (_fp_table(name), _FP_SCHEMA, "fp", "fingerprint"),
         (_bands_table(name), _BANDS_SCHEMA, "bands", "band_hash"),
@@ -107,30 +135,51 @@ def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
 
 def check_batch(spark: SparkSession, name: str,
                 batch: DataFrame) -> dict[str, DataFrame]:
-    """Check a (doc_id, text) batch against the store.
+    """Check a (doc_id, text) batch against the store AND against itself.
 
     Returns ``{"exact": (doc_id, dup_of), "near": (doc_id, near_of)}`` —
-    exact matches pair each batch doc with the smallest store doc
-    sharing its fingerprint; near candidates pair batch docs with store
-    docs sharing an LSH band (excluding docs that already matched
-    exactly, and excluding identity when re-checking ingested docs).
-    The store side of both joins reads its bucketed layout, so neither
-    join exchanges the corpus-sized table."""
-    fp = _fingerprints(batch)
+    exact matches pair each batch doc with the smallest doc sharing its
+    fingerprint (store doc or earlier batch doc); near candidates pair
+    batch docs with store/batch docs sharing an LSH band (excluding docs
+    that already matched exactly, and excluding identity when
+    re-checking ingested docs).  The INTRA-batch check matters: the
+    store knows nothing about texts arriving twice within one batch, and
+    a check→add flow without it would admit both copies forever.  The
+    intra joins are batch×batch (small); the store side of the
+    cross joins reads its bucketed layout, so the corpus-sized table is
+    never exchanged."""
+    fp = _fingerprints(batch).localCheckpoint(eager=False)
     store_fp = spark.table(_fp_table(name))
-    exact = (
+    cross_exact = (
         fp.alias("b")
         .join(store_fp.alias("s"),
               F.col("b.fingerprint") == F.col("s.fingerprint"))
         .filter(F.col("b.doc_id") != F.col("s.doc_id"))
-        .groupBy(F.col("b.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("s.doc_id")).alias("dup_of"))
+        .select(F.col("b.doc_id").alias("doc_id"),
+                F.col("s.doc_id").alias("dup_of"))
     )
+    # intra-batch exact: every copy points at the batch's smallest doc
+    # with the same text (O(k) rows per dup group, same rep shape as the
+    # dedup queries)
+    batch_reps = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    intra_exact = (
+        fp.join(batch_reps, "fingerprint")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .select("doc_id", F.col("rep_id").alias("dup_of"))
+    )
+    exact = (
+        cross_exact.unionByName(intra_exact)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
     batch_bands = band_rows(
         batch.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
-    )
+    ).localCheckpoint(eager=False)
     store_bands = spark.table(_bands_table(name))
-    near = (
+    cross_near = (
         batch_bands.alias("b")
         .join(
             store_bands.alias("s"),
@@ -142,6 +191,23 @@ def check_batch(spark: SparkSession, name: str,
             F.col("b.doc_id").alias("doc_id"),
             F.col("s.doc_id").alias("near_of"),
         )
+    )
+    # intra-batch near: later doc flagged against the earlier one
+    intra_near = (
+        batch_bands.alias("b1")
+        .join(
+            batch_bands.alias("b2"),
+            (F.col("b1.band_hash") == F.col("b2.band_hash"))
+            & (F.col("b1.band_no") == F.col("b2.band_no"))
+            & (F.col("b1.doc_id") > F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_id"),
+            F.col("b2.doc_id").alias("near_of"),
+        )
+    )
+    near = (
+        cross_near.unionByName(intra_near)
         .distinct()
         .join(exact.select("doc_id"), "doc_id", "anti")
     )
@@ -162,20 +228,29 @@ def add_batch(spark: SparkSession, name: str, batch: DataFrame) -> None:
     rep_docs = batch.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     ).join(new_reps, "doc_id", "semi")
-    # materialize the new-rep band rows BEFORE appending fingerprints:
-    # both derive from anti-joins against the store tables being written
+    # materialize both BEFORE either append: each derives from an
+    # anti-join against the store tables being written
     new_bands = band_rows(rep_docs).localCheckpoint(eager=True)
     new_fp = new_fp.select("doc_id", "fingerprint") \
         .localCheckpoint(eager=True)
-    (
-        new_fp.write.format("parquet").mode("append")
-        .bucketBy(N_STORE_BUCKETS, "fingerprint")
-        .sortBy("fingerprint")
-        .saveAsTable(_fp_table(name))
-    )
+    # bands append FIRST: new_fp is the retry guard (a fingerprint
+    # already in the store anti-joins the doc away), so a crash between
+    # the two appends must leave the fingerprints missing, not the
+    # bands — then a retry recomputes and re-appends BOTH.  The reverse
+    # order would make the retry a no-op with the bands permanently
+    # missing: every future near-copy of those texts would be admitted
+    # as clean.  A retry after a bands-committed crash appends duplicate
+    # band rows, which only produce duplicate candidate pairs that
+    # check_batch's distinct() absorbs — benign, vs. silent blindness.
     (
         new_bands.write.format("parquet").mode("append")
         .bucketBy(N_STORE_BUCKETS, "band_hash")
         .sortBy("band_hash")
         .saveAsTable(_bands_table(name))
+    )
+    (
+        new_fp.write.format("parquet").mode("append")
+        .bucketBy(N_STORE_BUCKETS, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(_fp_table(name))
     )

@@ -90,9 +90,11 @@ def add_vectors(spark: SparkSession, index_dir: str,
     and append them to their cell partitions — no refit, no rewrite of
     existing cells.  Returns the number of vectors added."""
     cents = load_centroids(spark, index_dir)
+    # materialize once: count() would otherwise run the full scan +
+    # k×dim assignment job and the write would recompute it from scratch
     assigned = _assign_cells(
         vectors.select("vec_id", "embedding"), cents, "embedding"
-    )
+    ).localCheckpoint(eager=True)
     n = assigned.count()
     (
         assigned.write.mode("append")

@@ -48,7 +48,7 @@ def _batch(spark):
 @pytest.fixture()
 def store(spark, tmp_path):
     name = f"dstore_{abs(hash(str(tmp_path))) % 10 ** 8}"
-    create_store(spark, str(tmp_path / "store"), name, _corpus(spark))
+    create_store(str(tmp_path / "store"), name, _corpus(spark))
     yield name
     spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
     spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
@@ -98,6 +98,56 @@ def test_open_store_reregisters_from_files(spark, store, tmp_path):
     assert {(r.doc_id, r.dup_of) for r in got["exact"].collect()} == {
         (100, 3)
     }
+
+
+def test_intra_batch_duplicates_are_flagged(spark, store):
+    """The store knows nothing about texts arriving twice WITHIN one
+    batch; check_batch must catch them itself or a check→add flow
+    admits both copies forever."""
+    fresh = "another brand new document text unseen by the store qqq"
+    batch = spark.createDataFrame(
+        [
+            (300, fresh),                       # first copy
+            (301, fresh),                       # exact intra-batch dup
+            (302, fresh.split(" ", 1)[1]),      # near intra-batch dup
+        ],
+        "doc_id bigint, text string",
+    )
+    got = check_batch(spark, store, batch)
+    exact = {(r.doc_id, r.dup_of) for r in got["exact"].collect()}
+    near = {(r.doc_id, r.near_of) for r in got["near"].collect()}
+    assert exact == {(301, 300)}
+    assert (302, 300) in near or (302, 301) in near
+    assert 300 not in {d for d, _ in exact} | {d for d, _ in near}
+
+
+def test_null_text_is_matchable(spark, store):
+    """md5(NULL) is NULL and an equi-join never matches NULL keys — a
+    NULL-text doc must still dedup against other content-free docs
+    (fingerprinted as the empty string), not pass clean forever."""
+    batch = spark.createDataFrame(
+        [(400, None), (401, None), (402, "")],
+        "doc_id bigint, text string",
+    )
+    got = check_batch(spark, store, batch)
+    exact = {(r.doc_id, r.dup_of) for r in got["exact"].collect()}
+    assert exact == {(401, 400), (402, 400)}
+
+
+def test_open_store_rejects_bucket_count_drift(spark, store, tmp_path,
+                                               monkeypatch):
+    """Bucket ids are baked into file names; re-registering 16-bucket
+    files under a different count would probe the wrong partition and
+    silently miss duplicates.  Must hard-fail instead."""
+    import pdf_extractor_spark.job.dedup_store as ds
+
+    spark.sql(f"DROP TABLE {store}_fp")
+    spark.sql(f"DROP TABLE {store}_bands")
+    monkeypatch.setattr(ds, "N_STORE_BUCKETS", 32)
+    with pytest.raises(ValueError, match="16 buckets"):
+        open_store(spark, str(tmp_path / "store"), store)
+    monkeypatch.setattr(ds, "N_STORE_BUCKETS", 16)
+    open_store(spark, str(tmp_path / "store"), store)
 
 
 def test_store_side_never_shuffles(spark, store):
