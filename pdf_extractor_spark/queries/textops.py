@@ -231,8 +231,9 @@ FROM documents
 _EN_MARKERS = ("the", "a", "of", "and", "is", "to", "in")
 
 
-def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def langid_cols() -> dict:
+    """Named language-ID Columns over a ``text`` column — shared by the
+    lang_id query and the curation job (one semantics, two drivers)."""
     tokens = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     markers = F.filter(
         tokens, lambda t: t.isin(*_EN_MARKERS)
@@ -242,12 +243,22 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok > 0,
         rhu(F.size(markers).cast("double") / n_tok.cast("double"), 4),
     ).otherwise(0.0)
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "marker_ratio": ratio,
+        "pred_lang": F.when(ratio >= 0.05, "en").otherwise("other"),
+    }
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = langid_cols()
     return d.select(
         "doc_id",
         "lang",
-        n_tok.cast("bigint").alias("n_tokens"),
-        ratio.alias("marker_ratio"),
-        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+        c["n_tokens"].alias("n_tokens"),
+        c["marker_ratio"].alias("marker_ratio"),
+        c["pred_lang"].alias("pred_lang"),
     )
 
 
@@ -275,8 +286,9 @@ FROM m
 """
 
 
-def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def quality_cols() -> dict:
+    """Named quality-score Columns over a ``text`` column — shared by
+    the quality_score query and the curation job."""
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     n_tok = F.size(tokens).cast("double")
     n_chars = F.length("text").cast("double")
@@ -290,12 +302,23 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5 * F.least(mean_tok_len / 8.0, F.lit(1.0)),
         4,
     )
+    return {
+        "n_tokens": F.size(tokens).cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "mean_token_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = quality_cols()
     return d.select(
         "doc_id",
-        F.size(tokens).cast("bigint").alias("n_tokens"),
-        n_chars.cast("bigint").alias("n_chars"),
-        mean_tok_len.alias("mean_token_len"),
-        score.alias("quality_score"),
+        c["n_tokens"].alias("n_tokens"),
+        c["n_chars"].alias("n_chars"),
+        c["mean_token_len"].alias("mean_token_len"),
+        c["quality_score"].alias("quality_score"),
     )
 
 

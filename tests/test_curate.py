@@ -1,0 +1,99 @@
+"""End-to-end corpus curation: gate ordering, dedup routing, store
+growth across runs, and the audit token budget."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.job.curate import curate
+from pdf_extractor_spark.job.dedup_store import create_store
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the quiet green forest before the evening rain "
+        "begins to fall on the old wooden bridge near the river bank "
+        "where the children often play during the long summer days "
+        "with their friends and the family dog under the warm sun")
+GOOD2 = ("a different long and well formed english document that talks "
+         "about the weather and the mountains and the many rivers that "
+         "flow from them toward the sea while people watch from the "
+         "shore and think about the long journey of the water from the "
+         "high peaks to the deep ocean across the wide land")
+NON_EN = " ".join(["zzq wqx vrk plm"] * 30)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    name = f"cstore_{abs(hash(str(tmp_path))) % 10 ** 8}"
+    create_store(
+        str(tmp_path / "store"), name,
+        spark.createDataFrame([(1, GOOD)], "doc_id bigint, text string"),
+    )
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+
+
+def test_curate_routes_and_audits(spark, store, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (10, GOOD2),                    # accepted
+            (11, "too short"),              # low_quality
+            (12, NON_EN),                   # wrong_lang
+            (13, GOOD),                     # exact dup of store doc 1
+            (14, GOOD.split(" ", 1)[1]),    # near dup of store doc 1
+        ],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path / "out")
+    summary = curate(spark, docs, store, out)
+
+    assert summary["n_input"] == 5
+    assert summary["n_accepted"] == 1
+    assert summary["by_reason"] == {
+        "accepted": 1, "low_quality": 1, "wrong_lang": 1,
+        "exact_dup": 1, "near_dup": 1,
+    }
+
+    dec = {r.doc_id: (r.reason, r.matched)
+           for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec[10] == ("accepted", None)
+    assert dec[11][0] == "low_quality"
+    assert dec[12][0] == "wrong_lang"
+    assert dec[13] == ("exact_dup", 1)
+    assert dec[14] == ("near_dup", 1)
+
+    acc = spark.read.parquet(f"{out}/accepted")
+    assert [r.doc_id for r in acc.collect()] == [10]
+    # the audit token budget equals the accepted docs' BPE-ish count
+    want_tokens = acc.select(
+        F.sum(F.size(F.regexp_extract_all(
+            "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        ))).alias("n")
+    ).collect()[0].n
+    assert summary["accepted_bpe_tokens"] == want_tokens
+
+    # a second run: the doc accepted in run 1 is now in the store, so
+    # its copy dedups against it — curation is cumulative across runs
+    out2 = str(tmp_path / "out2")
+    round2 = spark.createDataFrame(
+        [(20, GOOD2)], "doc_id bigint, text string"
+    )
+    s2 = curate(spark, round2, store, out2)
+    assert s2["by_reason"] == {"exact_dup": 1}
+    dec2 = {r.doc_id: (r.reason, r.matched)
+            for r in spark.read.parquet(f"{out2}/decisions").collect()}
+    assert dec2[20] == ("exact_dup", 10)
+
+
+def test_gate_order_attributes_cheapest_reason(spark, store, tmp_path):
+    """A doc failing several gates reports the FIRST (cheapest) one —
+    a short duplicate is low_quality, not exact_dup, and never even
+    reaches the dedup join."""
+    docs = spark.createDataFrame(
+        [(30, "too short"), (31, "too short")],
+        "doc_id bigint, text string",
+    )
+    summary = curate(spark, docs, store, str(tmp_path / "out"))
+    assert summary["by_reason"] == {"low_quality": 2}
