@@ -35,11 +35,14 @@ from pyspark.sql import functions as F
 from pdf_extractor_spark.job.dedup_store import add_batch, check_batch
 from pdf_extractor_spark.queries.textops import (
     _BPE_ISH,
+    CURATE_MIN_QUALITY,
     langid_cols,
     quality_cols,
 )
 
-DEFAULT_MIN_QUALITY = 0.5
+# shared with the hash-gated curation_route query so the job and its
+# declarative mirror can never drift on the threshold
+DEFAULT_MIN_QUALITY = CURATE_MIN_QUALITY
 
 
 def curate(

@@ -524,6 +524,114 @@ WHERE n_chars < 150
 """
 
 
+# Curation routing — the decision semantics of job/curate.py as one
+# declarative query, so the gate composition itself is hash-checked
+# against an independent DuckDB oracle (the job's store-backed near-dup
+# gate is stateful and stays pytest-proven; everything SQL-expressible
+# is gated here).  Gate order fixes reason attribution: a short
+# non-English duplicate reports low_quality.
+#
+# Scale shape: the quality/lang expressions are per-row JVM codegen (no
+# shuffle); the exact-dup gate shuffles ONLY (doc_id, md5, score, lang)
+# — text is dropped before the exchange, so the wide column never moves.
+CURATE_MIN_QUALITY = 0.5
+
+
+def _curation_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    q = quality_cols()
+    lid = langid_cols()
+    narrow = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        q["quality_score"].alias("quality_score"),
+        lid["pred_lang"].alias("pred_lang"),
+    )
+    survivor = (
+        (F.col("quality_score") >= CURATE_MIN_QUALITY)
+        & (F.col("pred_lang") == "en")
+    )
+    # min ignores NULLs on both engines → first surviving doc_id per
+    # identical text; a survivor's own id is always in the min's domain
+    first_id = F.min(F.when(survivor, F.col("doc_id"))).over(
+        Window.partitionBy("text_md5")
+    )
+    routed = narrow.withColumn("first_id", first_id)
+    reason = (
+        F.when(F.col("quality_score") < CURATE_MIN_QUALITY,
+               "low_quality")
+        .when(F.col("pred_lang") != "en", "wrong_lang")
+        .when(F.col("doc_id") > F.col("first_id"), "exact_dup")
+        .otherwise("accepted")
+    )
+    return routed.select(
+        "doc_id",
+        F.when(reason == "accepted", "accepted")
+         .otherwise("rejected").alias("verdict"),
+        reason.alias("reason"),
+        "quality_score",
+        "pred_lang",
+        F.when(reason == "exact_dup", F.col("first_id"))
+         .cast("bigint").alias("matched_doc_id"),
+    )
+
+
+# Mirrors _QUALITY_SQL / _LANG_SQL expression-for-expression, then the
+# first-survivor-wins window over md5(text).
+_CURATION_ROUTE_SQL = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE
+           AS n_tok,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS ltokens
+  FROM documents
+), m AS (
+  SELECT doc_id, text_md5, n_chars, n_tok,
+         CASE WHEN n_tok > 0
+              THEN (floor(((n_chars - (n_tok - 1)) / n_tok) * 10000.0 + 0.5)
+                    / 10000.0)
+              ELSE 0.0 END AS mean_token_len,
+         len(ltokens) AS ln_tok,
+         len(list_filter(ltokens, x -> x IN ({_MARKER_LIST}))) AS n_markers
+  FROM t
+), s AS (
+  SELECT doc_id, text_md5,
+         (floor((0.5 * least(n_chars / 400.0, 1.0)
+                 + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0 + 0.5)
+          / 10000.0) AS quality_score,
+         CASE WHEN ln_tok > 0
+               AND (floor((n_markers::DOUBLE / ln_tok::DOUBLE) * 10000.0
+                          + 0.5) / 10000.0) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM m
+), f AS (
+  SELECT doc_id, quality_score, pred_lang,
+         min(CASE WHEN quality_score >= 0.5 AND pred_lang = 'en'
+                  THEN doc_id END)
+           OVER (PARTITION BY text_md5) AS first_id
+  FROM s
+), r AS (
+  SELECT doc_id, quality_score, pred_lang, first_id,
+         CASE WHEN quality_score < 0.5 THEN 'low_quality'
+              WHEN pred_lang <> 'en' THEN 'wrong_lang'
+              WHEN doc_id > first_id THEN 'exact_dup'
+              ELSE 'accepted' END AS reason
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN reason = 'accepted' THEN 'accepted'
+            ELSE 'rejected' END AS verdict,
+       reason, quality_score, pred_lang,
+       (CASE WHEN reason = 'exact_dup' THEN first_id END)::BIGINT
+         AS matched_doc_id
+FROM r
+"""
+
+
 QUERIES: list[Q] = [
     Q("base64_roundtrip", _base64_roundtrip, _BASE64_SQL,
       "T11 base64 PDF-stream envelope encode/extract/decode"),
@@ -548,6 +656,10 @@ QUERIES: list[Q] = [
       "document quality scoring"),
     Q("token_count", _token_count, _TOKEN_COUNT_SQL,
       "whitespace + BPE-ish regex token counting"),
+    Q("curation_route", _curation_route, _CURATION_ROUTE_SQL,
+      "curation decision routing: quality gate -> language gate -> "
+      "first-survivor-wins exact dedup, gate-order reason attribution "
+      "(declarative mirror of job/curate.py's SQL-expressible gates)"),
     Q("fingerprint", _fingerprint, _FINGERPRINT_SQL,
       "canonical-text md5 fingerprinting"),
 ]

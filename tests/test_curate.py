@@ -87,6 +87,52 @@ def test_curate_routes_and_audits(spark, store, tmp_path):
     assert dec2[20] == ("exact_dup", 10)
 
 
+def test_route_query_mirrors_job_decisions(spark, tmp_path):
+    """The hash-gated curation_route query and the store-backed curate
+    job agree wherever their scopes overlap: identical reasons for
+    every SQL-expressible gate, and the job's extra store-LSH gate only
+    ever converts a route-ACCEPTED doc into near_dup (never overrides a
+    cheaper rejection)."""
+    from pdf_extractor_spark.queries.textops import _curation_route
+
+    rows = [
+        (10, GOOD2),                   # accepted both sides
+        (11, "too short"),             # low_quality both sides
+        (12, NON_EN),                  # wrong_lang both sides
+        (13, GOOD),                    # first survivor of the dup pair
+        (14, GOOD),                    # exact_dup of 13 both sides
+        (15, GOOD.split(" ", 1)[1]),   # near_dup (job) / accepted (route)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    docs.write.parquet(str(sf_dir / "documents.parquet"))
+    route = {r.doc_id: (r.reason, r.matched_doc_id)
+             for r in _curation_route(spark, str(sf_dir)).collect()}
+
+    name = f"pstore_{abs(hash(str(tmp_path))) % 10 ** 8}"
+    create_store(
+        str(tmp_path / "store"), name,
+        spark.createDataFrame([], "doc_id bigint, text string"),
+    )
+    try:
+        curate(spark, docs, name, str(tmp_path / "out"))
+        job = {r.doc_id: (r.reason, r.matched) for r in
+               spark.read.parquet(str(tmp_path / "out/decisions"))
+               .collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+
+    assert set(job) == set(route)
+    for doc_id in job:
+        if job[doc_id][0] == "near_dup":
+            assert route[doc_id][0] == "accepted"
+        else:
+            assert job[doc_id] == route[doc_id], doc_id
+
+
 def test_gate_order_attributes_cheapest_reason(spark, store, tmp_path):
     """A doc failing several gates reports the FIRST (cheapest) one —
     a short duplicate is low_quality, not exact_dup, and never even

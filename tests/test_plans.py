@@ -150,3 +150,20 @@ def test_embedding_neardup_blocks_on_cell(spark):
     assert "cell_id" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_route_shuffles_narrow_rows_only(spark):
+    """The curation exact-dup window must shuffle (doc_id, md5, score,
+    lang) — the text column is projected away BEFORE the exchange, so
+    the corpus's wide column never crosses the network."""
+    df = QUERIES["curation_route"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pre, _, post = plan.partition("Exchange hashpartitioning(text_md5")
+    assert _, "expected a single md5-keyed exchange"
+    # everything BELOW the exchange that mentions text#N is the
+    # md5/score/lang projection; the exchange's direct child Project
+    # must not carry the raw text column itself
+    child_project = post.split("+- Project ", 1)[1].split("\n", 1)[0]
+    assert "text#" not in child_project.replace("text_md5#", "")
+    # scan pruned to exactly the two columns the gates need
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
