@@ -15,8 +15,10 @@ Local smoke:
         --generate 50 --output /tmp/extract_out
 
 Subcommands: ``extract`` (flagship resumable pipeline), ``audit`` (print
-the lineage table of a previous run), ``bench-corpus`` (materialize a
-deterministic synthetic corpus to parquet).
+the lineage table of a previous run), ``errors`` (first N failing spans),
+``curate`` (quality/lang/dedup intake over a documents table, cumulative
+across runs via the persisted dedup store), ``bench-corpus``
+(materialize a deterministic synthetic corpus to parquet).
 
 Replaces the reference's Typer CLI (/root/reference/src/cli.py:12-289)
 with the flag-driven, prompt-free shape a cluster job needs (SURVEY.md
@@ -104,6 +106,40 @@ def cmd_errors(args: argparse.Namespace) -> int:
     return 1
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Corpus curation intake: quality/lang gates + cumulative dedup
+    against a persisted store.  First run creates the store; later runs
+    re-open it, so every invocation dedups against everything accepted
+    before — the cron-shaped intake a pretraining corpus actually runs."""
+    import os
+
+    spark = _spark(args.cores)
+    from pdf_extractor_spark.job.curate import curate
+    from pdf_extractor_spark.job.dedup_store import (
+        create_store,
+        open_store,
+    )
+
+    if os.path.exists(os.path.join(args.store, "_N_BUCKETS")):
+        open_store(spark, args.store, args.store_name)
+    else:
+        create_store(
+            args.store, args.store_name,
+            spark.createDataFrame([], "doc_id bigint, text string"),
+        )
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    summary = curate(
+        spark, docs, args.store_name, args.output,
+        min_quality=args.min_quality, lang=args.lang,
+    )
+    print(
+        f"curate: {summary['n_accepted']}/{summary['n_input']} accepted, "
+        f"{summary['accepted_bpe_tokens']} BPE-ish tokens; "
+        f"by_reason={summary['by_reason']}"
+    )
+    return 0
+
+
 def cmd_bench_corpus(args: argparse.Namespace) -> int:
     spark = _spark(args.cores)
     from pdf_extractor_spark.gen.transcripts import generate_transcripts
@@ -146,6 +182,20 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--output", required=True)
     pr.add_argument("--limit", type=int, default=5)
     pr.set_defaults(fn=cmd_errors)
+
+    pc = sub.add_parser(
+        "curate", help="quality/lang/dedup intake over a documents table"
+    )
+    pc.add_argument("--input", required=True,
+                    help="documents parquet path (doc_id, text)")
+    pc.add_argument("--store", required=True,
+                    help="dedup store dir (created on first run)")
+    pc.add_argument("--store-name", default="curate_store",
+                    help="catalog name for the store tables")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--min-quality", type=float, default=0.5)
+    pc.add_argument("--lang", default="en")
+    pc.set_defaults(fn=cmd_curate)
 
     pb = sub.add_parser("bench-corpus", help="materialize synthetic corpus")
     pb.add_argument("--convs", type=int, default=1500)

@@ -27,3 +27,40 @@ def test_cli_extract_audit_errors(spark, tmp_path, capsys):
         assert "no failing spans" in out_text
     else:
         assert out_text.count("priority=") <= 5
+
+
+def test_cli_curate_two_runs_cumulative(spark, tmp_path, capsys):
+    """curate CLI: first run creates the store and accepts a good doc;
+    the second run re-opens the store and dedups a copy of it."""
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before the evening "
+            "rain begins to fall on the old wooden bridge near the "
+            "river bank where the children often play during the long "
+            "summer days with their friends and the family dog")
+    store = str(tmp_path / "store")
+    name = f"clistore_{abs(hash(str(tmp_path))) % 10 ** 8}"
+
+    in1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(1, good), (2, "too short")], "doc_id bigint, text string"
+    ).write.parquet(in1)
+    try:
+        rc = main(["--cores", "8", "curate", "--input", in1,
+                   "--store", store, "--store-name", name,
+                   "--output", str(tmp_path / "out1")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "1/2 accepted" in out and "'low_quality': 1" in out
+
+        in2 = str(tmp_path / "in2")
+        spark.createDataFrame(
+            [(3, good)], "doc_id bigint, text string"
+        ).write.parquet(in2)
+        rc = main(["--cores", "8", "curate", "--input", in2,
+                   "--store", store, "--store-name", name,
+                   "--output", str(tmp_path / "out2")])
+        assert rc == 0
+        assert "'exact_dup': 1" in capsys.readouterr().out
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
