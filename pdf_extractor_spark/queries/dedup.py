@@ -5,8 +5,12 @@ Four strategies, Spark-first:
 
 - exact        — md5 fingerprint groupBy (hash agg; map-side partial).
 - minhash_lsh  — shingle → K minhash signatures → banded LSH bucket join →
-  candidate pairs.  Signatures/bands are md5-based (engine-portable,
-  deterministic); the self-join runs on band buckets only, never all-pairs.
+  candidate pairs.  Each shingle is md5-hashed ONCE to a 28-bit base hash;
+  the K signatures are universal-hash permutations ``(a_k·h + b_k) mod P``
+  of that base (the textbook one-hash-K-permutations MinHash — K× less
+  hashing than K independent md5s, engine-portable integer arithmetic,
+  and every product stays < 2^56 so ANSI int64 never overflows); the
+  self-join runs on band buckets only, never all-pairs.
 - ngram_jaccard — inverted-index shingle join → exact Jaccard on candidate
   pairs (pairs must share ≥1 shingle, so the join is bounded by shingle
   collisions, not |docs|²).
@@ -17,11 +21,17 @@ A derived corpus (documents ∪ deterministic exact copies ∪ deterministic
 near-copies) gives the dedup operators real duplicates at every scale; the
 derivation is identical SQL/DataFrame logic on both sides.
 
-Scale notes (100 TB design): every stage is shuffle-on-key only — shingle
-explode is narrow, minhash agg is partial+final hash agg keyed by doc,
-LSH bucket join shuffles on (band_no, band_hash) whose cardinality grows
-with corpus size (no skew pileup: identical docs hash to the same bucket
-but near-dup groups are small); nothing collects to the driver.
+Scale notes (100 TB design): every stage is shuffle-on-key only — the
+corpus is hash-repartitioned on doc_id ONCE before shingling, which the
+shingle-distinct AND the per-doc signature agg both reuse (doc_id is a
+subset of every downstream key, so Catalyst elides their exchanges; the
+one exchange moves raw text, strictly smaller than the exploded shingle
+set the old plan shuffled — and at bench scale it also spreads the
+hash-heavy map work across all cores instead of the tiny file's 3 input
+splits).  The LSH bucket join shuffles on (band_no, band_hash) whose
+cardinality grows with corpus size (no skew pileup: identical docs hash
+to the same bucket but near-dup groups are small); nothing collects to
+the driver.
 """
 
 from __future__ import annotations
@@ -33,6 +43,22 @@ from pdf_extractor_spark.queries.base import Q, load, rhu
 
 _N_MINHASH = 8      # K signatures
 _BAND_ROWS = 2      # rows per LSH band → 4 bands
+
+# Universal-hash family for the K MinHash permutations: sig_k(shingle) =
+# min over shingles of (A[k]·h + B[k]) mod P, where h is the first 7 hex
+# chars of md5(shingle) (28 bits).  P is the largest prime < 2^28, so
+# A[k]·h < 2^56 — safe int64 arithmetic under Spark's default ANSI mode
+# and bit-identical in DuckDB (both use checked two's-complement BIGINT).
+# Constants are fixed primes (any 2-universal (a, b) works; pinned
+# literals keep the Spark query, the DuckDB oracle, and the persisted
+# dedup-store band keys in lockstep).
+_MINHASH_P = 268435399
+_MINHASH_A = (15485863, 32452843, 49979687, 67867967,
+              86028121, 104395301, 122949823, 141650939)
+_MINHASH_B = (2038074743, 77557187, 37139213, 57885161,
+              30402457, 25964951, 24036583, 20996011)
+assert all(0 < a < _MINHASH_P for a in _MINHASH_A)
+_MINHASH_B = tuple(b % _MINHASH_P for b in _MINHASH_B)
 _SHINGLE_K = 3      # words per shingle
 
 
@@ -111,7 +137,19 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 # -------------------------------------------------------------- shingling
 
 def _shingles(c: DataFrame) -> DataFrame:
-    """doc_id → distinct K-word shingles (narrow explode, no shuffle)."""
+    """doc_id → distinct K-word shingles.
+
+    The corpus is hash-repartitioned on doc_id first: that single
+    raw-text exchange is reused by the shingle-distinct here AND by the
+    per-doc signature agg downstream (doc_id is a subset of both keys,
+    so Catalyst elides their exchanges — the old plan instead shuffled
+    the exploded shingle set, ~3× the text bytes).  The explicit
+    partition count keeps AQE from coalescing the hash-heavy map work
+    onto a handful of tasks when the input file is small (tiny shuffle
+    BYTES, large per-row CPU — the one case AQE sizes wrong).
+    """
+    n = int(c.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = c.repartition(n, "doc_id")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     # sequence(1, 0) yields a DESCENDING [1, 0] (step defaults to -1 when
     # start > stop), so slice(tokens, 0, K) would throw on docs with fewer
@@ -148,16 +186,24 @@ _SHINGLES_SQL = _shingles_sql("corpus")
 
 def band_rows(c: DataFrame) -> DataFrame:
     """(doc_id, band_no, band_hash) LSH band rows for a (doc_id, text)
-    corpus — shingle → K minhash signatures → banded hashes, all in one
-    pass over the signature aggregate (a per-band union branch would
-    recompute the agg once per band).  Shared by the self-join dedup
-    query and the incremental dedup store (job/dedup_store.py), so both
-    produce identical band keys for identical text."""
+    corpus — shingle → one 28-bit base hash → K universal-hash MinHash
+    signatures → banded keys, all in one pass over the signature
+    aggregate (a per-band union branch would recompute the agg once per
+    band).  One md5 per shingle, not K: the K permutations are integer
+    multiply-add-mod folds of the same base hash (see _MINHASH_A/B/P),
+    and the band key is the plain "sig|sig" decimal join — no second
+    hash pass.  Shared by the self-join dedup query and the incremental
+    dedup store (job/dedup_store.py), so both produce identical band
+    keys for identical text; changing the hash family re-keys any
+    previously persisted store."""
     sh = _shingles(c)
-    sigs = sh.groupBy("doc_id").agg(
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("bigint")
+    sigs = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
-            .alias(f"sig{k}")
+            F.min(
+                (F.lit(_MINHASH_A[k]) * F.col("h") + F.lit(_MINHASH_B[k]))
+                % F.lit(_MINHASH_P)
+            ).alias(f"sig{k}")
             for k in range(_N_MINHASH)
         ]
     )
@@ -165,11 +211,11 @@ def band_rows(c: DataFrame) -> DataFrame:
     band_structs = F.array(*[
         F.struct(
             F.lit(b).cast("int").alias("band_no"),
-            F.md5(F.concat_ws(
+            F.concat_ws(
                 "|",
                 *[F.col(f"sig{b * _BAND_ROWS + r}")
                   for r in range(_BAND_ROWS)],
-            )).alias("band_hash"),
+            ).alias("band_hash"),
         )
         for b in range(n_bands)
     ])
@@ -245,7 +291,9 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sig_cols = ",\n         ".join(
-        f"min(md5('{k}|' || shingle)) AS sig{k}" for k in range(_N_MINHASH)
+        f"min(({_MINHASH_A[k]} * h + {_MINHASH_B[k]}) % {_MINHASH_P}) "
+        f"AS sig{k}"
+        for k in range(_N_MINHASH)
     )
     n_bands = _N_MINHASH // _BAND_ROWS
     band_rows = []
@@ -254,7 +302,7 @@ def _minhash_sql() -> str:
             f"sig{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
         )
         band_rows.append(
-            f"SELECT doc_id, {b} AS band_no, md5({cols}) AS band_hash "
+            f"SELECT doc_id, {b} AS band_no, {cols} AS band_hash "
             "FROM sigs"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_rows)
@@ -275,7 +323,11 @@ shingles AS ({_shingles_sql("rep_corpus")}),
 sigs AS (
   SELECT doc_id,
          {sig_cols}
-  FROM shingles GROUP BY doc_id
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+    FROM shingles
+  ) GROUP BY doc_id
 ),
 bands AS (
   {bands_sql}
@@ -396,7 +448,12 @@ _SIMHASH_BITS = 32
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same one-exchange spread as _shingles: the token md5 + 32 sign
+    # sums are map-side CPU that must not inherit a tiny file's split
+    # count, and the groupBy(doc_id) reuses the partitioning for free
     c = _corpus(spark, sf_dir)
+    n = int(c.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = c.repartition(n, "doc_id")
     tok = c.select(
         "doc_id",
         F.explode(
