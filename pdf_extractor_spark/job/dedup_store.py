@@ -131,6 +131,33 @@ def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
             f"INTO {N_STORE_BUCKETS} BUCKETS "
             f"LOCATION '{os.path.join(store_dir, sub)}'"
         )
+        # IF NOT EXISTS silently keeps a previously-registered table: in
+        # a long-lived session, open_store(dirA, name) followed by
+        # open_store(dirB, name) would leave the catalog pointing at
+        # dirA and every check_batch would consult the WRONG store —
+        # real duplicates reported clean forever.  Verify the entry
+        # actually resolves to THIS store's files.
+        registered = _table_location(spark, table)
+        expected = os.path.realpath(os.path.join(store_dir, sub))
+        if registered != expected:
+            raise ValueError(
+                f"catalog table {table} points at {registered}, not "
+                f"{expected}; a store with this name is already open on "
+                "a different path — use a distinct store name or DROP "
+                "the stale table first"
+            )
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Filesystem path the catalog entry resolves to (realpath, scheme
+    stripped), or None if unlisted."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name.strip() == "Location":
+            loc = r.data_type.strip()
+            if loc.startswith("file:"):
+                loc = loc[len("file:"):]
+            return os.path.realpath(loc)
+    return None
 
 
 def check_batch(spark: SparkSession, name: str,

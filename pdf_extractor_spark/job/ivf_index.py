@@ -29,10 +29,12 @@ row-identical to the ``ann_ivf`` query on the same corpus
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from pdf_extractor_spark.queries.base import load
 from pdf_extractor_spark.queries.similarity import (
@@ -53,17 +55,50 @@ def _centroids_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids")
 
 
+def _schema_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_CELLS_SCHEMA.json")
+
+
+def _cells_reader(spark: SparkSession, index_dir: str):
+    """Reader for the cell layout with the PERSISTED schema: a zero-row
+    corpus writes only ``_SUCCESS`` under cells/, and a schema-inferring
+    read of that raises UNABLE_TO_INFER_SCHEMA — an empty index must
+    return empty search results, not abort (same totality rule as
+    sink.batch_input)."""
+    reader = spark.read
+    path = _schema_path(index_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            reader = reader.schema(StructType.fromJson(json.load(f)))
+    return reader
+
+
 def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> int:
     """Fit the coarse quantizer on ``sf_dir``'s embeddings and persist
     centroids + cell-partitioned vectors.  Returns the vector count."""
     cents = _fitted_centroids(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = _assign_cells(e, cents, "embedding")
+    # an empty corpus fits zero centroids; the assignment expression
+    # needs ≥1 centroid to build, so stamp the (zero) rows directly —
+    # the layout stays valid and search returns empty
+    if not cents:
+        assigned = e.withColumn("cell_id", F.lit(0).cast("bigint"))
+    else:
+        assigned = _assign_cells(e, cents, "embedding")
+    # materialize once: the count rides the same job as the write input
+    # instead of a full re-read of the just-written cell files (the
+    # add_vectors pattern) — at index scale that second scan is the
+    # whole corpus again
+    assigned = assigned.localCheckpoint(eager=True)
+    n = assigned.count()
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(_cells_dir(index_dir))
     )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_schema_path(index_dir), "w") as f:
+        json.dump(json.loads(assigned.schema.json()), f)
     (
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
@@ -73,7 +108,7 @@ def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> int:
         .write.mode("overwrite")
         .parquet(_centroids_dir(index_dir))
     )
-    return spark.read.parquet(_cells_dir(index_dir)).count()
+    return n
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -110,28 +145,48 @@ def search(
     queries: DataFrame,
     top_k: int = _TOP_K,
     n_probe: int = _N_PROBE,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``top_k`` neighbors per query row (q_id, q_emb) from the
     persisted index.  The probe-cell set is collected to the driver (a
     ``n_queries × n_probe`` int list) and pushed into the cell scan as a
     LITERAL partition predicate, so the read prunes to the probed
     directories — the scan-level saving the persisted layout exists for.
+
+    ``exclude_self`` drops candidates whose ``vec_id`` equals the query's
+    ``q_id``.  It is OFF by default: query ids and index ids are
+    independent namespaces in this API, and a caller numbering its
+    queries 0..N would otherwise silently lose stored vector ``vec_id=k``
+    — possibly the true nearest neighbor — from query ``k``'s results.
+    Pass ``True`` only when the queries ARE corpus rows (the ann_ivf
+    query's convention, where self is a degenerate score-1.0 match).
     """
     cents = load_centroids(spark, index_dir)
+    if not cents:
+        # empty index (zero-row build): no cells to probe — empty result
+        # with the search schema, not an analysis error
+        return (
+            queries.select("q_id").limit(0)
+            .withColumn("rank", F.lit(0))
+            .withColumn("n_id", F.lit(0).cast("bigint"))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("cell_id", F.lit(0).cast("bigint"))
+        )
     probes = _probe_cells(queries, "q_emb", cents, n_probe)
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )
-    cells = spark.read.parquet(_cells_dir(index_dir)).filter(
-        F.col("cell_id").isin(probe_cells)
-    ).select(
-        "cell_id",
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-    )
-    cand = probes.join(cells, "cell_id").filter(
-        F.col("q_id") != F.col("n_id")
-    )
+    cells = _cells_reader(spark, index_dir) \
+        .parquet(_cells_dir(index_dir)).filter(
+            F.col("cell_id").isin(probe_cells)
+        ).select(
+            "cell_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+        )
+    cand = probes.join(cells, "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("n_id"))
     scored = _with_cosine(cand, "q_emb", "n_emb")
     from pyspark.sql import Window
 

@@ -150,6 +150,23 @@ def test_open_store_rejects_bucket_count_drift(spark, store, tmp_path,
     open_store(spark, str(tmp_path / "store"), store)
 
 
+def test_open_store_rejects_path_mismatch(spark, store, tmp_path):
+    """CREATE TABLE IF NOT EXISTS keeps a previously-registered table:
+    opening a DIFFERENT store dir under the same name would silently
+    check batches against the old store's files.  Must hard-fail."""
+    other_dir = str(tmp_path / "other")
+    create_store(other_dir, f"{store}_other",
+                 _corpus(spark).limit(2))
+    try:
+        with pytest.raises(ValueError, match="different path"):
+            open_store(spark, other_dir, store)
+        # same name back on its own path still opens fine
+        open_store(spark, str(tmp_path / "store"), store)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {store}_other_fp")
+        spark.sql(f"DROP TABLE IF EXISTS {store}_other_bands")
+
+
 def test_store_side_never_shuffles(spark, store):
     """The whole point of the bucketed layout: with broadcast disabled
     (the at-scale planner choice — a real batch is too big to

@@ -44,7 +44,9 @@ def test_search_matches_ann_ivf_query(spark, tmp_path):
     n = build_index(spark, SF_DIR, idx)
     assert n == load(spark, SF_DIR, "embeddings").count()
 
-    got = search(spark, idx, _queries_df(spark))
+    # the queries here ARE corpus rows (ann_ivf's convention), so self
+    # is a degenerate score-1.0 match and must be excluded to compare
+    got = search(spark, idx, _queries_df(spark), exclude_self=True)
     want = _ann_ivf(spark, SF_DIR)
     assert got.columns == want.columns
     assert _rows(got) == _rows(want)
@@ -61,7 +63,7 @@ def test_search_scan_is_partition_pruned(spark, tmp_path):
     query-shape (which re-scans the corpus to assign cells)."""
     idx = str(tmp_path / "ivf")
     build_index(spark, SF_DIR, idx)
-    result = search(spark, idx, _queries_df(spark))
+    result = search(spark, idx, _queries_df(spark), exclude_self=True)
     plan = result._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -91,12 +93,44 @@ def test_add_vectors_without_refit(spark, tmp_path):
     assert n_added == _N_QUERIES
     assert load_centroids(spark, idx) == cents_before, "no refit"
 
-    hits = search(spark, idx, _queries_df(spark)).filter(
-        F.col("rank") == 1
-    )
+    hits = search(
+        spark, idx, _queries_df(spark), exclude_self=True
+    ).filter(F.col("rank") == 1)
     top1 = {r.q_id: r.n_id for r in hits.collect()}
     # every query's rank-1 neighbor is now its jittered copy
     assert top1 == {q: q + 1_000_000 for q in range(_N_QUERIES)}
+
+
+def test_search_default_keeps_same_id(spark, tmp_path):
+    """Query ids and index ids are independent namespaces: by default a
+    query whose q_id collides with a stored vec_id must still see that
+    vector — here q_id=k IS vector k, so its rank-1 hit is itself at
+    score 1.0 (the self-exclusion is opt-in for corpus-derived queries)."""
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+    hits = search(spark, idx, _queries_df(spark)).filter(
+        F.col("rank") == 1
+    )
+    top1 = {r.q_id: (r.n_id, r.score) for r in hits.collect()}
+    assert top1 == {q: (q, 1.0) for q in range(_N_QUERIES)}
+
+
+def test_empty_index_searches_total(spark, tmp_path):
+    """A zero-row corpus writes only _SUCCESS under cells/; search must
+    return an empty frame (persisted schema), not UNABLE_TO_INFER_SCHEMA."""
+    import pyspark.sql.functions as SF
+
+    idx = str(tmp_path / "ivf-empty")
+    empty_sf = str(tmp_path / "sf-empty")
+    os.makedirs(empty_sf)
+    (
+        load(spark, SF_DIR, "embeddings")
+        .filter(SF.lit(False))
+        .write.parquet(os.path.join(empty_sf, "embeddings.parquet"))
+    )
+    n = build_index(spark, empty_sf, idx)
+    assert n == 0
+    assert search(spark, idx, _queries_df(spark)).count() == 0
 
 
 def test_index_layout_is_cell_partitioned(spark, tmp_path):
