@@ -193,7 +193,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--store-name", default="curate_store",
                     help="catalog name for the store tables")
     pc.add_argument("--output", required=True)
-    pc.add_argument("--min-quality", type=float, default=0.5)
+    # the shared constant, NOT a literal: a third independent 0.5 here
+    # would let CLI-launched curation drift from the library default and
+    # the hash-gated curation_route query if the threshold is ever tuned
+    from pdf_extractor_spark.job.curate import DEFAULT_MIN_QUALITY
+
+    pc.add_argument("--min-quality", type=float,
+                    default=DEFAULT_MIN_QUALITY)
     pc.add_argument("--lang", default="en")
     pc.set_defaults(fn=cmd_curate)
 

@@ -42,7 +42,9 @@ doubles as the per-partition lineage record the north_rule requires.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,24 +125,31 @@ def stage_corpus(
     transcripts: DataFrame,
     out_dir: str,
     n_buckets: int,
-) -> str:
+) -> tuple[str, "StructType"]:
     """Write ``transcripts`` once as a bucket-partitioned parquet layout
-    (``corpus/bucket=<b>/``) and return its path; reuse an existing
-    complete staging (``_SUCCESS`` + ``_N_BUCKETS``) so resumes pay
+    (``corpus/bucket=<b>/``) and return (path, staged schema); reuse an
+    existing complete staging (``_SUCCESS`` + markers) so resumes pay
     nothing.  This is the single full-input scan of a resumable run —
     every batch afterwards partition-prunes to its own bucket dirs.
 
-    The bucket count is PERSISTED next to the staging and validated on
-    reuse: a resume with a different ``n_buckets`` would enumerate
-    bucket ids that don't match the staged directories (silently
-    dropping every row in buckets >= the smaller count) — that mismatch
-    is a hard error, not a silent partial run.  A staging with
-    ``_SUCCESS`` but no ``_N_BUCKETS`` marker is treated as incomplete
-    (crash between the parquet write and the marker) and re-staged."""
+    The bucket count AND the staged schema are PERSISTED next to the
+    staging and validated on reuse.  A resume with a different
+    ``n_buckets`` would enumerate bucket ids that don't match the staged
+    directories (silently dropping every row in buckets >= the smaller
+    count); a resume whose upstream schema DRIFTED would read the frozen
+    files through the new schema — missing columns come back all-NULL,
+    so the remaining batches would commit rows derived from a phantom
+    schema.  Both are hard errors, not silent partial runs.  A staging
+    with ``_SUCCESS`` but missing markers is treated as incomplete
+    (crash between the parquet write and the markers) and re-staged."""
+    from pyspark.sql.types import StructType
+
     corpus_dir = os.path.join(out_dir, "corpus")
     meta_path = os.path.join(corpus_dir, "_N_BUCKETS")
+    schema_path = os.path.join(corpus_dir, "_SCHEMA.json")
+    staged = transcripts.withColumn("bucket", _bucket_col(n_buckets))
     if os.path.exists(os.path.join(corpus_dir, "_SUCCESS")) and \
-            os.path.exists(meta_path):
+            os.path.exists(meta_path) and os.path.exists(schema_path):
         with open(meta_path) as f:
             staged_n = int(f.read().strip())
         if staged_n != n_buckets:
@@ -150,16 +159,24 @@ def stage_corpus(
                 "resume with the original bucket count or clear the "
                 "output dir"
             )
-        return corpus_dir
-    (
-        transcripts.withColumn("bucket", _bucket_col(n_buckets))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(corpus_dir)
-    )
+        with open(schema_path) as f:
+            stored_schema = StructType.fromJson(json.load(f))
+        if stored_schema != staged.schema:
+            raise ValueError(
+                f"staged corpus at {corpus_dir} was written with a "
+                "different input schema than this run's transcripts; "
+                "the upstream table drifted since the interrupted run — "
+                "clear the output dir to restart against the new schema"
+            )
+        return corpus_dir, stored_schema
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(corpus_dir)
+    # markers last: a crash between the parquet write and either marker
+    # reads as an incomplete staging and is re-staged
+    with open(schema_path, "w") as f:
+        json.dump(json.loads(staged.schema.json()), f)
     with open(meta_path, "w") as f:
         f.write(f"{n_buckets}\n")
-    return corpus_dir
+    return corpus_dir, staged.schema
 
 
 def batch_input(spark: SparkSession, corpus_dir: str,
@@ -199,19 +216,17 @@ def run_resumable(
     groups: dict[int, list[int]] = {}
     for b in range(n_buckets):
         groups.setdefault(b % n_batches, []).append(b)
+    todo = [b for b in sorted(groups) if b not in done]
 
     processed = 0
-    skipped = 0
-    corpus_dir = stage_corpus(transcripts, out_dir, n_buckets)
-    # the staged layout's schema = input schema + the bucket partition
-    # column; passing it keeps batch reads total on an empty staging
-    staged_schema = transcripts.withColumn(
-        "bucket", _bucket_col(n_buckets)
-    ).schema
-    for batch_id in sorted(groups):
-        if batch_id in done:
-            skipped += 1
-            continue
+    skipped = len(groups) - len(todo)
+    if todo:
+        # stage (or validate a reused staging) only when there is work:
+        # re-running a completed output dir must not re-scan the input
+        corpus_dir, staged_schema = stage_corpus(
+            transcripts, out_dir, n_buckets
+        )
+    for batch_id in todo:
         batch_in = batch_input(spark, corpus_dir, groups[batch_id],
                                schema=staged_schema)
         t0 = time.time()
@@ -254,5 +269,12 @@ def run_resumable(
     if complete:
         with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
             f.write("ok\n")
+        # delete-on-success ≙ the reference's checkpoint cleanup: nothing
+        # reads the staged corpus once every batch is committed, and
+        # leaving it would permanently double the run's input footprint
+        # (100 TB of dead staging per run at the design point)
+        corpus_dir = os.path.join(out_dir, "corpus")
+        if os.path.isdir(corpus_dir):
+            shutil.rmtree(corpus_dir)
     return {"processed": processed, "skipped": skipped,
             "complete": complete}

@@ -94,14 +94,35 @@ def _release_lock(path: str, token: str) -> None:
     """Unlink the lock only if this writer still owns it (the token
     matches).  A force-unlocked or replaced lock is left alone, and a
     missing lock is not an error — release must never mask an in-flight
-    ConcurrentWriteError with a FileNotFoundError."""
+    ConcurrentWriteError with a FileNotFoundError.
+
+    The ownership check and the removal must be ONE atomic step: a
+    read-token-then-unlink pair leaves an unbounded window in which a
+    force_unlock plus a new writer's acquire can land, and the stale
+    releaser's unlink would then delete the NEW writer's live lock.
+    ``os.rename`` to a private name is that atomic step — exactly one
+    releaser can claim the inode; a claimed lock that turns out to be
+    someone else's is re-linked back (``os.link`` refuses to clobber a
+    lock acquired in the gap, so the restore can never overwrite a
+    third writer's).  The residual exposure is the microseconds between
+    rename and link-back, and only after an operator force_unlocks under
+    a live writer — misuse the CAS in merge_upsert still backstops."""
+    claimed = f"{path}.releasing-{uuid.uuid4().hex}"
     try:
-        with open(path) as f:
-            if f.read().strip() != token:
-                return
-        os.unlink(path)
+        os.rename(path, claimed)
     except FileNotFoundError:
-        pass
+        return
+    try:
+        with open(claimed) as f:
+            owned = f.read().strip() == token
+        if not owned:
+            # not ours — restore unless a new lock appeared meanwhile
+            try:
+                os.link(claimed, path)
+            except FileExistsError:
+                pass
+    finally:
+        os.unlink(claimed)
 
 
 def force_unlock(table_dir: str) -> None:

@@ -58,6 +58,15 @@ class _LazyOracleSQL(Mapping):
     def __len__(self) -> int:
         return len(self._qs)
 
+    # Mapping's default __contains__/.get delegate to __getitem__, which
+    # would build the full oracle SQL (the mirror k-means fit included)
+    # for a mere membership probe — the exact work this class defers.
+    def __contains__(self, name: object) -> bool:
+        return name in self._qs
+
+    def get(self, name, default=None):
+        return self._qs[name].sql_text if name in self._qs else default
+
 
 ORACLE_SQL: Mapping = _LazyOracleSQL(ALL)
 

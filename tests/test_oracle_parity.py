@@ -173,3 +173,20 @@ def test_entry_contract(spark):
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_oracle_sql_membership_is_lazy():
+    """Mapping's default __contains__/.get delegate to __getitem__ —
+    which builds the full oracle SQL (mirror k-means fit included).  A
+    membership probe must stay free."""
+    from pdf_extractor_spark.queries import _LazyOracleSQL
+    from pdf_extractor_spark.queries.base import Q
+
+    def boom() -> str:
+        raise AssertionError("membership probe must not build SQL")
+
+    m = _LazyOracleSQL([Q(name="x", fn=lambda s, d: None, sql=boom)])
+    assert "x" in m and "y" not in m
+    assert m.get("y") is None
+    with pytest.raises(AssertionError, match="must not build"):
+        m["x"]

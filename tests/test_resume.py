@@ -100,7 +100,11 @@ def test_full_run_reads_each_input_row_once(spark, tmp_path):
     (stage write + its one batch read) regardless of n_batches."""
     tdf = transcripts_df(spark, n_convs=10, seed=17)
     out = str(tmp_path / "out")
-    run_resumable(spark, tdf, out, n_buckets=8, n_batches=4)
+    # crash mid-run so the staging is inspectable (a COMPLETE run deletes
+    # it — delete-on-success, asserted at the end)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, tdf, out, n_buckets=8, n_batches=4,
+                      fail_after_batches=1)
 
     # staging layout exists, partitioned by bucket, written exactly once
     corpus = os.path.join(out, "corpus")
@@ -129,16 +133,23 @@ def test_full_run_reads_each_input_row_once(spark, tmp_path):
     ][0]
     assert "bucket" in partition_filter_line, plan
 
-    # and a second run (fully committed) re-stages nothing: the staged
-    # corpus files are untouched
+    # resuming re-stages nothing: the staged corpus files are untouched
     mtimes = {
         d: os.path.getmtime(os.path.join(corpus, d)) for d in part_dirs
     }
-    again = run_resumable(spark, tdf, out, n_buckets=8, n_batches=4)
-    assert again["processed"] == 0
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, tdf, out, n_buckets=8, n_batches=4,
+                      fail_after_batches=2)
     assert mtimes == {
         d: os.path.getmtime(os.path.join(corpus, d)) for d in part_dirs
     }
+
+    # completing the run deletes the staging (delete-on-success): nothing
+    # reads it once every batch is committed, and leaving it would double
+    # the run's input footprint forever
+    final = run_resumable(spark, tdf, out, n_buckets=8, n_batches=4)
+    assert final["complete"]
+    assert not os.path.exists(corpus)
 
 
 def test_staged_corpus_freezes_resume_inputs(spark, tmp_path):
@@ -162,11 +173,31 @@ def test_staged_corpus_freezes_resume_inputs(spark, tmp_path):
 def test_stage_corpus_is_idempotent(spark, tmp_path):
     tdf = transcripts_df(spark, n_convs=5, seed=29)
     out = str(tmp_path / "out")
-    p1 = stage_corpus(tdf, out, n_buckets=4)
+    p1, s1 = stage_corpus(tdf, out, n_buckets=4)
     n1 = spark.read.parquet(p1).count()
-    p2 = stage_corpus(tdf, out, n_buckets=4)
-    assert p1 == p2
+    p2, s2 = stage_corpus(tdf, out, n_buckets=4)
+    assert (p1, s1) == (p2, s2)
     assert spark.read.parquet(p2).count() == n1 == tdf.count()
+
+
+def test_resume_rejects_upstream_schema_drift(spark, tmp_path):
+    """The staging freezes the run's input; if the upstream table's
+    SCHEMA drifts before a resume, reading the frozen files through the
+    new schema would fill missing columns with NULL and commit rows
+    derived from a phantom schema.  Must hard-fail, like n_buckets
+    drift."""
+    tdf = transcripts_df(spark, n_convs=8, seed=23)
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, tdf, out, n_batches=2, fail_after_batches=1)
+
+    from pyspark.sql import functions as F
+
+    drifted = tdf.withColumn("new_upstream_col", F.lit(1))
+    with pytest.raises(ValueError, match="different input schema"):
+        run_resumable(spark, drifted, out, n_batches=2)
+    # the original schema still resumes cleanly
+    assert run_resumable(spark, tdf, out, n_batches=2)["complete"]
 
 
 def test_stage_corpus_rejects_bucket_count_change(spark, tmp_path):
@@ -180,7 +211,7 @@ def test_stage_corpus_rejects_bucket_count_change(spark, tmp_path):
         run_resumable(spark, tdf, out, n_buckets=4, n_batches=2)
     # and an incomplete staging (marker missing) is re-staged, not reused
     os.unlink(os.path.join(out, "corpus", "_N_BUCKETS"))
-    p = stage_corpus(tdf, out, n_buckets=4)
+    p, _ = stage_corpus(tdf, out, n_buckets=4)
     assert open(os.path.join(p, "_N_BUCKETS")).read().strip() == "4"
     summary = run_resumable(spark, tdf, out, n_buckets=4, n_batches=2)
     assert summary["complete"]
