@@ -40,6 +40,8 @@ HEADLINE = [
     "ref_scan",             # regex sweep
     "lang_id",              # text analysis
     "token_count",
+    "repetition_stats",     # Gopher-style repetition filter
+    "pack_sequences",       # token-budget packing window
     "dedup_exact",
     "dedup_minhash_lsh",    # shingle → minhash → LSH join
     "dedup_ngram_jaccard",  # inverted-index similarity join

@@ -632,6 +632,249 @@ FROM r
 """
 
 
+# Repetition statistics (Gopher-style quality filter, word-level: the
+# corpus has no newlines, so the line-based variants degenerate).  The
+# per-(doc, term) counts go through explode → two-level agg rather than a
+# per-row O(n²) higher-order-function scan: the shuffle key is
+# (doc_id, word), so partial aggregation collapses each doc's repeats
+# map-side and per-key fan-in is bounded by a single document's vocabulary
+# — the shape that survives million-token documents at 100 TB.
+_REP_TOP_BIGRAM_MAX = 0.18   # Gopher's top-2-gram duplicate threshold
+_REP_DISTINCT_MIN = 0.30
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    t = d.select("doc_id", tokens.alias("tokens"))
+
+    words = t.select("doc_id", F.explode("tokens").alias("word"))
+    ws = (
+        words.groupBy("doc_id", "word").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_word_n"),
+            F.sum("count").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tokens", 1, F.size("tokens") - 1),
+                F.slice("tokens", 2, F.size("tokens") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bs = (
+        bigrams.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_bigram_n"),
+            F.sum("count").alias("n_bigrams"),
+        )
+    )
+    j = d.select("doc_id").join(ws, "doc_id", "left") \
+        .join(bs, "doc_id", "left")
+    top_word_frac = F.when(
+        F.col("n_tok") > 0,
+        rhu(F.col("top_word_n").cast("double")
+            / F.col("n_tok").cast("double"), 4),
+    ).otherwise(0.0)
+    top_bigram_frac = F.when(
+        F.col("n_bigrams") > 0,
+        rhu(F.col("top_bigram_n").cast("double")
+            / F.col("n_bigrams").cast("double"), 4),
+    ).otherwise(0.0)
+    distinct_ratio = F.when(
+        F.col("n_tok") > 0,
+        rhu(F.col("n_distinct").cast("double")
+            / F.col("n_tok").cast("double"), 4),
+    ).otherwise(0.0)
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint")
+         .alias("n_tokens"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        distinct_ratio.alias("distinct_ratio"),
+        (
+            (top_bigram_frac >= _REP_TOP_BIGRAM_MAX)
+            | ((F.coalesce(F.col("n_tok"), F.lit(0)) > 0)
+               & (distinct_ratio <= _REP_DISTINCT_MIN))
+        ).alias("is_repetitive"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+           AS tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(tokens) AS word FROM t
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), ws AS (
+  SELECT doc_id, max(c) AS top_word_n, sum(c) AS n_tok,
+         count(*) AS n_distinct
+  FROM wc GROUP BY doc_id
+), bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens)),
+                               i -> tokens[i] || ' ' || tokens[i + 1]))
+           AS bg
+  FROM t
+), bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg
+), bs AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM bc GROUP BY doc_id
+), j AS (
+  SELECT d.doc_id,
+         coalesce(ws.n_tok, 0) AS n_tok,
+         ws.top_word_n, ws.n_distinct,
+         coalesce(bs.n_bigrams, 0) AS n_bigrams, bs.top_bigram_n
+  FROM documents d
+  LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+), f AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0
+              THEN floor((top_word_n::DOUBLE / n_tok::DOUBLE) * 10000.0
+                         + 0.5) / 10000.0
+              ELSE 0.0 END AS top_word_frac,
+         CASE WHEN n_bigrams > 0
+              THEN floor((top_bigram_n::DOUBLE / n_bigrams::DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0
+              ELSE 0.0 END AS top_bigram_frac,
+         CASE WHEN n_tok > 0
+              THEN floor((n_distinct::DOUBLE / n_tok::DOUBLE) * 10000.0
+                         + 0.5) / 10000.0
+              ELSE 0.0 END AS distinct_ratio
+  FROM j
+)
+SELECT doc_id, n_tok::BIGINT AS n_tokens,
+       top_word_frac, top_bigram_frac, distinct_ratio,
+       (top_bigram_frac >= {_REP_TOP_BIGRAM_MAX}
+        OR (n_tok > 0 AND distinct_ratio <= {_REP_DISTINCT_MIN}))
+         AS is_repetitive
+FROM f
+"""
+
+
+# Weighted source-mixture sampling — the training-mix op: each source
+# contributes at its own rate, selection is md5-keyed so the SAME docs
+# are picked on every run and every engine (a seeded `rand()` is
+# partition-dependent in Spark).  Fully narrow: scan + filter, no
+# shuffle, no collect — the mixture of a 100 TB corpus costs one pass.
+# A production rate table would come from a mixture config (broadcast
+# join); here the rate derives deterministically from the source id so
+# the query is self-contained.
+def _mix_rate(source_col):
+    return 5 + (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), source_col)),
+                           1, 4), 16, 10).cast("bigint") % 96
+    )
+
+
+def _source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = _mix_rate(F.col("source"))
+    key = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mixdoc|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 4), 16, 10).cast("bigint") % 100
+    )
+    return (
+        d.withColumn("rate_pct", rate.cast("bigint"))
+        .withColumn("sample_key", key)
+        .filter(F.col("sample_key") < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct", "sample_key")
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         5 + (CAST(('0x' || substr(md5('mix|' || source), 1, 4)) AS BIGINT)
+              % 96) AS rate_pct,
+         CAST(('0x' || substr(md5('mixdoc|' || doc_id::VARCHAR), 1, 4))
+              AS BIGINT) % 100 AS sample_key
+  FROM documents
+)
+SELECT doc_id, source, rate_pct::BIGINT AS rate_pct, sample_key
+FROM r WHERE sample_key < rate_pct
+"""
+
+
+# Token-budget sequence packing — assign documents to fixed-budget
+# training sequences: within each (source, block) stream, docs are taken
+# in doc_id order and a doc starts the next sequence once the running
+# token count crosses the budget.  The window partitions on
+# (source, block) where block is an md5-derived shard: a per-source-only
+# window would serialize each source's entire 100 TB shard through one
+# task; 64-way blocking bounds every window partition while keeping the
+# assignment deterministic (same doc → same block → same seq_no at any
+# parallelism).
+_PACK_BUDGET = 512
+_PACK_BLOCKS = 64
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)) \
+        .cast("bigint")
+    block = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 4), 16, 10).cast("bigint") % _PACK_BLOCKS
+    )
+    base = d.select(
+        "doc_id", "source",
+        block.alias("block"),
+        tok.alias("bpe_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("bpe_tokens").over(w)
+    return base.select(
+        "doc_id", "source", "block", "bpe_tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        F.floor((cum - F.col("bpe_tokens")) / F.lit(_PACK_BUDGET))
+         .cast("bigint").alias("seq_no"),
+    )
+
+
+_PACK_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 4))
+              AS BIGINT) % {_PACK_BLOCKS} AS block,
+         len(regexp_extract_all(text, '{_BPE_ISH}'))::BIGINT AS bpe_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, source, block, bpe_tokens,
+         sum(bpe_tokens) OVER (
+           PARTITION BY source, block ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, source, block, bpe_tokens,
+       cum_tokens::BIGINT AS cum_tokens,
+       CAST(floor((cum_tokens - bpe_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+         AS seq_no
+FROM w
+"""
+
+
 QUERIES: list[Q] = [
     Q("base64_roundtrip", _base64_roundtrip, _BASE64_SQL,
       "T11 base64 PDF-stream envelope encode/extract/decode"),
@@ -662,4 +905,14 @@ QUERIES: list[Q] = [
       "(declarative mirror of job/curate.py's SQL-expressible gates)"),
     Q("fingerprint", _fingerprint, _FINGERPRINT_SQL,
       "canonical-text md5 fingerprinting"),
+    Q("repetition_stats", _repetition_stats, _REPETITION_SQL,
+      "Gopher-style repetition filter: top-word / top-bigram duplicate "
+      "fractions + distinct-token ratio via map-side-combining "
+      "(doc, term) aggregation"),
+    Q("source_mix_sample", _source_mix_sample, _SOURCE_MIX_SQL,
+      "weighted source-mixture sampling: per-source rates, md5-keyed "
+      "deterministic selection, single narrow pass"),
+    Q("pack_sequences", _pack_sequences, _PACK_SQL,
+      "token-budget sequence packing: cumulative BPE-ish token windows "
+      "per (source, md5-block) shard"),
 ]

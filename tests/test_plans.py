@@ -167,3 +167,34 @@ def test_curation_route_shuffles_narrow_rows_only(spark):
     assert "text#" not in child_project.replace("text_md5#", "")
     # scan pruned to exactly the two columns the gates need
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_source_mix_sample_is_one_narrow_pass(spark):
+    """The mixture sampler must be scan + filter only — zero exchanges.
+    At 100 TB a shuffle here would move the corpus to decide membership
+    that every row can decide for itself."""
+    plan = _formatted_plan(spark, "source_mix_sample")
+    assert "Exchange" not in plan
+    # and the scan reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_repetition_stats_aggs_are_partial(spark):
+    """(doc, term) counting must combine map-side: each doc's repeated
+    terms collapse before the exchange, so per-key fan-in is bounded by
+    a document's vocabulary, not its length."""
+    plan = _formatted_plan(spark, "repetition_stats")
+    assert plan.count("HashAggregate") >= 4  # partial+final × word/bigram
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_windows_on_blocked_key(spark):
+    """The packing window must partition on (source, block), never on
+    source alone — one window partition per source would serialize a
+    source's entire shard through a single task."""
+    plan = _formatted_plan(spark, "pack_sequences")
+    assert "Window" in plan
+    import re
+
+    hp = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert hp and all("block" in h for h in hp), plan
