@@ -56,6 +56,31 @@ def _bands_table(name: str) -> str:
     return f"{name}_bands"
 
 
+def _generation(store_dir: str) -> int | None:
+    """Current compaction generation, or None for a legacy store laid
+    out before generations existed (plain ``fp``/``bands`` subdirs)."""
+    path = os.path.join(store_dir, "_GEN")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def _commit_generation(store_dir: str, gen: int) -> None:
+    tmp = os.path.join(store_dir, f"_GEN.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(f"{gen}\n")
+    os.replace(tmp, os.path.join(store_dir, "_GEN"))
+
+
+def _subdirs(store_dir: str) -> tuple[str, str]:
+    """(fp, bands) physical subdir names for the current generation."""
+    gen = _generation(store_dir)
+    if gen is None:
+        return "fp", "bands"
+    return f"fp-g{gen}", f"bands-g{gen}"
+
+
 def _fingerprints(docs: DataFrame) -> DataFrame:
     # NULL text is fingerprinted as the empty string: md5(NULL) is NULL,
     # and an equi-join never matches NULL keys — a NULL-text doc would
@@ -76,13 +101,19 @@ def _write_meta(store_dir: str) -> None:
 
 
 def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
-    """Create the store from an initial corpus (may be empty)."""
+    """Create the store from an initial corpus (may be empty).
+
+    Marker order is the creation commit protocol: data dirs first, then
+    ``_GEN``, then ``_N_BUCKETS`` LAST — callers (cmd_curate) treat
+    ``_N_BUCKETS`` as "store exists", so a crash mid-create leaves no
+    marker and the store is simply re-created."""
+    fp_dir, bands_dir = "fp-g0", "bands-g0"
     fp = _fingerprints(docs)
     (
         fp.write.format("parquet").mode("overwrite")
         .bucketBy(N_STORE_BUCKETS, "fingerprint")
         .sortBy("fingerprint")
-        .option("path", os.path.join(store_dir, "fp"))
+        .option("path", os.path.join(store_dir, fp_dir))
         .saveAsTable(_fp_table(name))
     )
     # bands only for one representative per distinct text: copies share
@@ -96,9 +127,10 @@ def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
         band_rows(rep_docs).write.format("parquet").mode("overwrite")
         .bucketBy(N_STORE_BUCKETS, "band_hash")
         .sortBy("band_hash")
-        .option("path", os.path.join(store_dir, "bands"))
+        .option("path", os.path.join(store_dir, bands_dir))
         .saveAsTable(_bands_table(name))
     )
+    _commit_generation(store_dir, 0)
     _write_meta(store_dir)
 
 
@@ -121,31 +153,42 @@ def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
             f"this build expects {N_STORE_BUCKETS}; rebuild the store or "
             "run a matching build"
         )
+    fp_dir, bands_dir = _subdirs(store_dir)
     for table, schema, sub, key in (
-        (_fp_table(name), _FP_SCHEMA, "fp", "fingerprint"),
-        (_bands_table(name), _BANDS_SCHEMA, "bands", "band_hash"),
+        (_fp_table(name), _FP_SCHEMA, fp_dir, "fingerprint"),
+        (_bands_table(name), _BANDS_SCHEMA, bands_dir, "band_hash"),
     ):
-        spark.sql(
+        ddl = (
             f"CREATE TABLE IF NOT EXISTS {table} ({schema}) "
             f"USING PARQUET CLUSTERED BY ({key}) SORTED BY ({key}) "
             f"INTO {N_STORE_BUCKETS} BUCKETS "
             f"LOCATION '{os.path.join(store_dir, sub)}'"
         )
+        spark.sql(ddl)
         # IF NOT EXISTS silently keeps a previously-registered table: in
         # a long-lived session, open_store(dirA, name) followed by
         # open_store(dirB, name) would leave the catalog pointing at
         # dirA and every check_batch would consult the WRONG store —
         # real duplicates reported clean forever.  Verify the entry
-        # actually resolves to THIS store's files.
+        # actually resolves to THIS store's files.  A stale pointer
+        # WITHIN this store (an old compaction generation — e.g. a crash
+        # between the _GEN swap and re-registration) is healed by
+        # re-registering at the committed generation instead.
         registered = _table_location(spark, table)
         expected = os.path.realpath(os.path.join(store_dir, sub))
         if registered != expected:
-            raise ValueError(
-                f"catalog table {table} points at {registered}, not "
-                f"{expected}; a store with this name is already open on "
-                "a different path — use a distinct store name or DROP "
-                "the stale table first"
-            )
+            if registered is not None and registered.startswith(
+                os.path.realpath(store_dir) + os.sep
+            ):
+                spark.sql(f"DROP TABLE {table}")
+                spark.sql(ddl)
+            else:
+                raise ValueError(
+                    f"catalog table {table} points at {registered}, not "
+                    f"{expected}; a store with this name is already open "
+                    "on a different path — use a distinct store name or "
+                    "DROP the stale table first"
+                )
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:
@@ -158,6 +201,71 @@ def _table_location(spark: SparkSession, table: str) -> str | None:
                 loc = loc[len("file:"):]
             return os.path.realpath(loc)
     return None
+
+
+def compact_store(spark: SparkSession, store_dir: str, name: str) -> int:
+    """Rewrite both tables into a fresh generation — one file per bucket.
+
+    ``add_batch`` appends one file per touched bucket per batch, so a
+    store ingesting B batches accumulates O(B × buckets) files; the
+    bucketed-join invariant survives, but every future scan pays
+    file-open overhead proportional to the store's entire ingest
+    HISTORY, not its size.  Compaction reads each table once and
+    repartitions on the bucket key into exactly ``N_STORE_BUCKETS``
+    partitions — Spark's repartition hash (pmod(murmur3, n)) IS the
+    bucket-id formula, so each task holds exactly one bucket and the
+    bucketed write lands exactly one file per bucket.  The new files go
+    to generation ``g+1`` dirs; commit is an atomic swap of the ``_GEN``
+    pointer (the upsert snapshot discipline), re-registers the catalog
+    entries, and deletes the old generation.  A crash before the swap
+    leaves the live store untouched (the new dirs are uncommitted
+    garbage, cleared by the next compact); a crash after the swap is
+    healed by ``open_store``, which re-points intra-store stale catalog
+    entries at the committed generation.  Returns the new generation."""
+    import shutil
+
+    old_fp, old_bands = _subdirs(store_dir)
+    old_gen = _generation(store_dir)
+    new_gen = 0 if old_gen is None else old_gen + 1
+    specs = (
+        (_fp_table(name), _FP_SCHEMA, old_fp, f"fp-g{new_gen}",
+         "fingerprint"),
+        (_bands_table(name), _BANDS_SCHEMA, old_bands,
+         f"bands-g{new_gen}", "band_hash"),
+    )
+    for table, schema, old_sub, sub, key in specs:
+        tmp_table = f"{table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        target = os.path.join(store_dir, sub)
+        if os.path.exists(target):          # crashed earlier attempt
+            shutil.rmtree(target)
+        # read the PHYSICAL files, not the catalog table: the bucketed
+        # scan advertises HashPartitioning so Catalyst elides the
+        # repartition, but an auto-disabled bucketed scan actually reads
+        # file-per-split — the write then lands one file per (task,
+        # bucket) and the fragmentation survives compaction.  A plain
+        # path read has no claimed partitioning, so the repartition
+        # stands and each task holds exactly its one bucket.  Explicit
+        # schema keeps an empty store compactable.
+        src = spark.read.schema(schema).parquet(
+            os.path.join(store_dir, old_sub)
+        )
+        (
+            src.repartition(N_STORE_BUCKETS, F.col(key))
+            .write.format("parquet").mode("overwrite")
+            .bucketBy(N_STORE_BUCKETS, key)
+            .sortBy(key)
+            .option("path", target)
+            .saveAsTable(tmp_table)
+        )
+        spark.sql(f"DROP TABLE {tmp_table}")   # external — files stay
+    _commit_generation(store_dir, new_gen)     # COMMIT POINT
+    for table, *_ in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    open_store(spark, store_dir, name)
+    for sub in (old_fp, old_bands):
+        shutil.rmtree(os.path.join(store_dir, sub), ignore_errors=True)
+    return new_gen
 
 
 def check_batch(spark: SparkSession, name: str,

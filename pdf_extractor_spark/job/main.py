@@ -140,6 +140,21 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact_store(args: argparse.Namespace) -> int:
+    """Offline store maintenance: collapse the append-per-batch file
+    growth back to one file per bucket (generation-swap commit)."""
+    spark = _spark(args.cores)
+    from pdf_extractor_spark.job.dedup_store import (
+        compact_store,
+        open_store,
+    )
+
+    open_store(spark, args.store, args.store_name)
+    gen = compact_store(spark, args.store, args.store_name)
+    print(f"compact-store: {args.store} now at generation {gen}")
+    return 0
+
+
 def cmd_bench_corpus(args: argparse.Namespace) -> int:
     spark = _spark(args.cores)
     from pdf_extractor_spark.gen.transcripts import generate_transcripts
@@ -202,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
                     default=DEFAULT_MIN_QUALITY)
     pc.add_argument("--lang", default="en")
     pc.set_defaults(fn=cmd_curate)
+
+    pk = sub.add_parser(
+        "compact-store",
+        help="rewrite the dedup store to one file per bucket",
+    )
+    pk.add_argument("--store", required=True)
+    pk.add_argument("--store-name", default="curate_store")
+    pk.set_defaults(fn=cmd_compact_store)
 
     pb = sub.add_parser("bench-corpus", help="materialize synthetic corpus")
     pb.add_argument("--convs", type=int, default=1500)

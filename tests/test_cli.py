@@ -61,6 +61,22 @@ def test_cli_curate_two_runs_cumulative(spark, tmp_path, capsys):
                    "--output", str(tmp_path / "out2")])
         assert rc == 0
         assert "'exact_dup': 1" in capsys.readouterr().out
+
+        # offline maintenance: compaction swaps a fresh generation and
+        # the store keeps deduping what it accepted before
+        rc = main(["--cores", "8", "compact-store", "--store", store,
+                   "--store-name", name])
+        assert rc == 0
+        assert "generation 1" in capsys.readouterr().out
+        in3 = str(tmp_path / "in3")
+        spark.createDataFrame(
+            [(4, good)], "doc_id bigint, text string"
+        ).write.parquet(in3)
+        rc = main(["--cores", "8", "curate", "--input", in3,
+                   "--store", store, "--store-name", name,
+                   "--output", str(tmp_path / "out3")])
+        assert rc == 0
+        assert "'exact_dup': 1" in capsys.readouterr().out
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
         spark.sql(f"DROP TABLE IF EXISTS {name}_bands")

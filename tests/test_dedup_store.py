@@ -187,3 +187,93 @@ def test_store_side_never_shuffles(spark, store):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _parquet_files(d):
+    import os
+
+    return [
+        f for f in os.listdir(d)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+
+
+def test_compact_store_collapses_files_and_preserves_answers(
+    spark, store, tmp_path
+):
+    """Per-batch appends fragment the store (one file per touched bucket
+    per batch); compaction must land one file per bucket in a fresh
+    generation, delete the old one, and change NO answer."""
+    import os
+
+    import re
+
+    def files_per_bucket(d):
+        counts = {}
+        for f in _parquet_files(d):
+            m = re.search(r"_(\d{5})\D", f)
+            assert m, f
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        return counts
+
+    sdir = str(tmp_path / "store")
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [
+                (1000 + 10 * i + j,
+                 f"compactable fresh document number {i}-{j} zz{i}q{j}")
+                for j in range(8)
+            ],
+            "doc_id bigint, text string",
+        )
+        add_batch(spark, store, batch)
+    before = check_batch(spark, store, _batch(spark))
+    exact_before = {(r.doc_id, r.dup_of) for r in before["exact"].collect()}
+    near_before = {(r.doc_id, r.near_of) for r in before["near"].collect()}
+    assert max(files_per_bucket(os.path.join(sdir, "fp-g0")).values()) > 1, \
+        "appends must have fragmented at least one bucket"
+
+    from pdf_extractor_spark.job.dedup_store import compact_store
+
+    gen = compact_store(spark, sdir, store)
+    assert gen == 1
+    assert not os.path.exists(os.path.join(sdir, "fp-g0"))
+    assert not os.path.exists(os.path.join(sdir, "bands-g0"))
+    for d in ("fp-g1", "bands-g1"):
+        assert max(files_per_bucket(os.path.join(sdir, d)).values()) == 1, d
+
+    after = check_batch(spark, store, _batch(spark))
+    assert {(r.doc_id, r.dup_of) for r in after["exact"].collect()} \
+        == exact_before
+    assert {(r.doc_id, r.near_of) for r in after["near"].collect()} \
+        == near_before
+
+    # the store keeps working after compaction: ingest + re-check
+    add_batch(spark, store, _batch(spark))
+    re = check_batch(spark, store, _batch(spark))
+    assert {(r.doc_id, r.dup_of) for r in re["exact"].collect()} \
+        == exact_before
+
+
+def test_open_store_heals_intra_store_stale_pointer(spark, store, tmp_path):
+    """Crash window: _GEN swapped but catalog not yet re-registered.  A
+    reopen must re-point the tables at the committed generation, not
+    raise the foreign-path error."""
+    import os
+    import shutil as sh
+
+    from pdf_extractor_spark.job.dedup_store import (
+        _commit_generation,
+        _table_location,
+    )
+
+    sdir = str(tmp_path / "store")
+    sh.copytree(os.path.join(sdir, "fp-g0"), os.path.join(sdir, "fp-g1"))
+    sh.copytree(os.path.join(sdir, "bands-g0"),
+                os.path.join(sdir, "bands-g1"))
+    _commit_generation(sdir, 1)
+    open_store(spark, sdir, store)   # heals the stale catalog pointer
+    assert _table_location(spark, f"{store}_fp").endswith("fp-g1")
+    got = check_batch(spark, store, _batch(spark))
+    assert {(r.doc_id, r.dup_of) for r in got["exact"].collect()} \
+        == {(100, 3)}
