@@ -527,6 +527,180 @@ FROM sh
 """
 
 
+# ------------------------------------------------- duplicate-cluster assembly
+
+_CC_MAX_ITERS = 64
+
+
+def cc_labels(edges: DataFrame) -> DataFrame:
+    """Connected components over an undirected edge list → (doc_id, label)
+    with label = min doc_id reachable (the canonical representative).
+
+    Pair emitters (LSH, Jaccard) produce EDGES; an actual dedup pass needs
+    CLUSTERS — a doc near-dup to B which is near-dup to C must land in one
+    group even when (A, C) itself never collides in a band.  This is the
+    transitive-closure step every production dedup pipeline runs after
+    candidate generation.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels, run to
+    fixpoint (the fixpoint is unique: min reachable id, so iteration
+    order/count cannot change the answer).  Each round is one shuffle
+    join + partial/final min-agg; the driver-side action per round reads
+    ONE count (convergence check), never row data.  Rounds needed =
+    graph diameter; near-dup clusters are stars/short chains (diameter
+    ≤ ~4), so at 100 TB this is a handful of shuffles over the EDGE set
+    (tiny vs the corpus — only docs that collided in a band appear).
+    For adversarial long-chain graphs the log-round variant
+    (large-star/small-star, Kiveris et al.) drops in here without
+    changing the contract; the fixture tests pin a 20-node chain to
+    document the worst case this implementation tolerates.
+    """
+    fwd = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neigh = (
+            sym.join(labels, sym["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        upd = (
+            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+            .select(
+                labels["doc_id"],
+                labels["label"],
+                F.least(
+                    labels["label"], F.coalesce("nmin", labels["label"])
+                ).alias("new_label"),
+            )
+        )
+        new_labels = upd.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            upd.filter(F.col("new_label") != F.col("label")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+    )
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = _minhash_pairs(
+        _corpus(spark, sf_dir), _fingerprints(spark, sf_dir)
+    )
+    lab = cc_labels(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        lab.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .withColumn("is_keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _clusters_sql() -> str:
+    # the oracle computes min-reachable-id independently: enumerate every
+    # (node, reachable seed) pair with a recursive CTE, then min — a
+    # different algorithm from the engine's label propagation, so a
+    # propagation bug cannot self-certify
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_minhash_sql()}) q
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+reach(doc_id, root) AS (
+  SELECT doc_id, doc_id AS root FROM nodes
+  UNION
+  SELECT e.v AS doc_id, r.root
+  FROM reach r JOIN edges e ON e.u = r.doc_id
+),
+lab AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size,
+       doc_id = cluster_id AS is_keep
+FROM lab
+"""
+
+
+# ------------------------------------------------- benchmark decontamination
+
+# Benchmark membership: every ~97th ORIGINAL document plays the held-out
+# eval set.  Contamination = a training doc sharing >= _DECON_MIN_HITS
+# distinct K-word shingles with ANY benchmark doc.  The training side is
+# the derived dup-bearing corpus minus the benchmark rows themselves —
+# exact/near copies of benchmark docs (ids shifted by 1M/2M) stay in and
+# are precisely the leakage this op must catch.
+_DECON_BENCH_MOD = 97
+_DECON_MIN_HITS = 2
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    bench_grams = _shingles(bench).select("shingle").distinct()
+    train = _corpus(spark, sf_dir).filter(
+        ~(
+            (F.col("doc_id") < 1_000_000)
+            & (F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        )
+    )
+    # the benchmark set is small BY DEFINITION (eval suites are KBs-MBs
+    # while the corpus is TBs) — broadcast it so the contamination scan
+    # is a map-side semi-join over the corpus shingles, no corpus shuffle
+    # before the per-doc partial count-agg
+    return (
+        _shingles(train)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= _DECON_MIN_HITS)
+    )
+
+
+_DECON_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_DECON_BENCH_MOD} = 0
+),
+bench_grams AS (
+  SELECT DISTINCT shingle FROM ({_shingles_sql("bench")}) b
+),
+train AS (
+  SELECT doc_id, text FROM corpus
+  WHERE NOT (doc_id < 1000000 AND doc_id % {_DECON_BENCH_MOD} = 0)
+),
+train_shingles AS ({_shingles_sql("train")})
+SELECT doc_id, count(*) AS n_hits
+FROM train_shingles
+WHERE shingle IN (SELECT shingle FROM bench_grams)
+GROUP BY doc_id
+HAVING count(*) >= {_DECON_MIN_HITS}
+"""
+
+
 QUERIES: list[Q] = [
     Q("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
       "exact dedup via md5 hash-groupBy"),
@@ -536,4 +710,12 @@ QUERIES: list[Q] = [
       "inverted-index n-gram Jaccard near-dup pairs"),
     Q("dedup_simhash", _dedup_simhash, _simhash_sql(),
       "32-bit SimHash with band keys"),
+    Q("dedup_clusters", _dedup_clusters, _clusters_sql,
+      "duplicate-cluster assembly: connected components (iterative "
+      "min-label propagation to the unique fixpoint) over the MinHash/"
+      "exact candidate pairs; oracle recomputes via an independent "
+      "recursive-CTE reachability closure"),
+    Q("decontaminate", _decontaminate, _DECON_SQL,
+      "benchmark decontamination: distinct-shingle overlap of the "
+      "training corpus vs a broadcast held-out benchmark gram set"),
 ]

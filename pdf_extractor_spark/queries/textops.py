@@ -875,6 +875,84 @@ FROM w
 """
 
 
+# --------------------------------------------------------------- PII redaction
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (character
+# classes, bounded repetition, \b, non-capturing groups — no lookaround,
+# no backreferences) so Spark and DuckDB compile them identically.
+# Replacement ORDER is part of the semantics (emails contain dotted hosts
+# an IP pattern could nibble): email → IPv4 → phone on both sides.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails / IPv4 / phone numbers) with per-doc
+    match counts — the scrubbing pass a training-data pipeline runs over
+    every document before packing.
+
+    The synthetic corpus carries no organic PII, so both sides first
+    append a deterministic doc_id-derived PII suffix (same expression in
+    Spark and the oracle SQL) — the redaction regexes then do real work
+    on every row at every scale.  Pure JVM expression chain: no shuffle,
+    no Python, fully pipelined into the scan (plan-gated)."""
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com via 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" tel 555-"),
+        F.lpad((F.col("doc_id") % 743).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 9973).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(salted, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.regexp_extract_all(salted, F.lit(_PII_EMAIL), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(salted, F.lit(_PII_IPV4), 0))
+        .cast("bigint").alias("n_ips"),
+        F.size(F.regexp_extract_all(salted, F.lit(_PII_PHONE), 0))
+        .cast("bigint").alias("n_phones"),
+    )
+
+
+_PII_SQL = f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com via 10.' || (doc_id % 200)::VARCHAR
+              || '.0.' || (doc_id % 250)::VARCHAR
+              || ' tel 555-' || lpad((doc_id % 743)::VARCHAR, 3, '0')
+              || '-' || lpad((doc_id % 9973)::VARCHAR, 4, '0') AS full_text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(full_text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(full_text, '{_PII_IPV4}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(full_text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phones
+FROM salted
+"""
+
+
 QUERIES: list[Q] = [
     Q("base64_roundtrip", _base64_roundtrip, _BASE64_SQL,
       "T11 base64 PDF-stream envelope encode/extract/decode"),
@@ -915,4 +993,7 @@ QUERIES: list[Q] = [
     Q("pack_sequences", _pack_sequences, _PACK_SQL,
       "token-budget sequence packing: cumulative BPE-ish token windows "
       "per (source, md5-block) shard"),
+    Q("pii_redact", _pii_redact, _PII_SQL,
+      "regex PII redaction (email/IPv4/phone) + match counts; pure "
+      "JVM expression chain in the Java-regex ∩ RE2 common subset"),
 ]

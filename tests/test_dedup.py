@@ -54,3 +54,89 @@ def test_jaccard_runs_with_short_docs(spark):
     pairs = _jaccard_pairs(_mini_corpus(spark)).collect()
     got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
     assert got.get((5, 6)) == 1.0
+
+
+# ------------------------------------------------------- cluster assembly
+
+def test_cc_labels_hand_graph(spark):
+    """Chain + separate pair + star: min-reachable-id fixpoint."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → cluster 1
+         (10, 11),                        # pair → cluster 10
+         (20, 21), (20, 22), (20, 23)],   # star → cluster 20
+        "doc_a bigint, doc_b bigint",
+    )
+    from pdf_extractor_spark.queries.dedup import cc_labels
+
+    got = {r.doc_id: r.label for r in cc_labels(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cc_labels_long_chain_converges(spark):
+    """Worst-case diameter: a 20-node path needs ~19 propagation rounds —
+    pins that the iteration cap tolerates adversarial chain graphs and
+    that transitivity holds end-to-end (node 19 reaches root 0)."""
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    from pdf_extractor_spark.queries.dedup import cc_labels
+
+    got = {r.doc_id: r.label for r in cc_labels(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_labels_empty_edges(spark):
+    from pdf_extractor_spark.queries.dedup import cc_labels
+
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert cc_labels(edges).collect() == []
+
+
+def test_dedup_clusters_merges_transitively(spark):
+    """An exact copy (id+1M) and a near copy (id+2M) of the same doc must
+    land in ONE cluster keyed by the original id, even though the
+    (copy, copy) pair itself may never share a band."""
+    from pdf_extractor_spark.queries.dedup import _dedup_clusters
+
+    rows = _dedup_clusters(spark, "/root/testdata/sf0.001").collect()
+    lab = {r.doc_id: r.cluster_id for r in rows}
+    size = {r.doc_id: r.cluster_size for r in rows}
+    keep = {r.doc_id: r.is_keep for r in rows}
+    # doc 3: %10==3 → has a near copy 2000003; both cluster to 3
+    assert lab[3] == 3 and lab[2000003] == 3
+    assert keep[3] is True and keep[2000003] is False
+    # doc 1: %10<2 → exact copy 1000001 clusters to 1
+    assert lab[1] == 1 and lab[1000001] == 1
+    assert size[1] == size[1000001] >= 2
+    # every cluster id is a member of its own cluster (canonical rep)
+    roots = {r.cluster_id for r in rows}
+    assert roots <= set(lab)
+    assert all(lab[c] == c for c in roots)
+
+
+# ------------------------------------------------------- decontamination
+
+def test_decontaminate_catches_benchmark_copies(spark):
+    """Exact copies of benchmark docs are the canonical leak — every one
+    must be flagged, and benchmark originals must not appear."""
+    from pdf_extractor_spark.queries.dedup import (
+        _DECON_BENCH_MOD,
+        _decontaminate,
+    )
+    from pdf_extractor_spark.queries.base import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r.n_hits for r in _decontaminate(spark, sf).collect()}
+    docs = load(spark, sf, "documents").select("doc_id").collect()
+    bench_ids = {r.doc_id for r in docs if r.doc_id % _DECON_BENCH_MOD == 0}
+    exact_copy_leaks = {
+        i + 1_000_000 for i in bench_ids if i % 10 < 2
+    }
+    assert exact_copy_leaks, "fixture must contain at least one leak"
+    assert exact_copy_leaks <= set(got)
+    # an exact copy shares ALL its shingles with the benchmark
+    assert all(got[c] > 2 for c in exact_copy_leaks)
+    assert not (bench_ids & set(got))

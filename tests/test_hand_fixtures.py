@@ -95,3 +95,30 @@ def test_latex_structure_hand_skeletons():
     ) == 1.0
     # lost brace is visible structurally
     assert structure_similarity(r"\frac{1}{2}", r"\frac{1}{2") < 1.0
+
+
+def test_pii_patterns_hand_cases():
+    """The PII regexes (Java-regex ∩ RE2 subset) against hand-picked
+    positives/negatives, via Python's re (a third engine — the Spark and
+    DuckDB sides are hash-compared by the parity suite)."""
+    import re
+
+    from pdf_extractor_spark.queries.textops import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    assert re.fullmatch(_PII_EMAIL, "a.b+c_d%e@sub.example.co")
+    assert not re.fullmatch(_PII_EMAIL, "not-an-email@")
+    assert re.fullmatch(_PII_IPV4, "10.0.0.1")
+    assert re.fullmatch(_PII_IPV4, "255.255.255.255")
+    assert not re.search(_PII_IPV4, "1.2.3")
+    assert re.fullmatch(_PII_PHONE, "555-012-3456")
+    assert not re.search(_PII_PHONE, "55-012-3456")
+
+    text = "mail x@y.io or 10.1.2.3 tel 555-000-1111 end"
+    out = re.sub(_PII_EMAIL, "<EMAIL>", text)
+    out = re.sub(_PII_IPV4, "<IP>", out)
+    out = re.sub(_PII_PHONE, "<PHONE>", out)
+    assert out == "mail <EMAIL> or <IP> tel <PHONE> end"

@@ -198,3 +198,26 @@ def test_pack_sequences_windows_on_blocked_key(spark):
 
     hp = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert hp and all("block" in h for h in hp), plan
+
+
+def test_pii_redact_is_one_narrow_jvm_pass(spark):
+    """PII scrubbing is a pure map over the scan: no shuffle (a redaction
+    pass at 100 TB must not move a byte between executors) and no Python
+    evaluation of any kind."""
+    plan = _formatted_plan(spark, "pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The held-out benchmark gram set is small by definition — the
+    contamination scan must be a broadcast join against the corpus
+    shingles, never a corpus-wide shuffle join or a cartesian."""
+    plan = _formatted_plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # per-doc overlap count is a partial+final hash agg
+    assert plan.count("HashAggregate") >= 2
