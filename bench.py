@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_minhash_lsh",    # shingle → minhash → LSH join
     "dedup_ngram_jaccard",  # inverted-index similarity join
     "dedup_simhash",
+    "dedup_clusters",       # connected components over candidate pairs
+    "decontaminate",        # broadcast benchmark-gram overlap
+    "pii_redact",           # zero-shuffle regex scrub
     "cosine_topk",          # brute-force ANN baseline
     "ann_ivf",              # IVF ANN scale path
     "multimodal_decode",    # Arrow-batch decode plumbing

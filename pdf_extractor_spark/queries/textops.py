@@ -875,6 +875,124 @@ FROM w
 """
 
 
+# ----------------------------------------------- boilerplate line removal
+
+# C4-style line-level boilerplate stripping: lines that repeat across
+# more than _BOILER_MAX_DF documents (nav bars, footers, cookie banners)
+# are removed from every document, preserving the order of what remains.
+# The synthetic docs are single-line, so both sides first derive the SAME
+# multi-line corpus: 8-word chunks plus deterministically injected
+# boilerplate (a universal footer, a %3 rights line, and a %50 offer line
+# that stays BELOW the threshold — the gate must discriminate, not nuke).
+_BOILER_WORDS = 8
+_BOILER_MAX_DF = 20
+_BOILER_FOOTER = "subscribe to our newsletter for updates"
+_BOILER_RIGHTS = "all rights reserved"
+_BOILER_OFFER = "special offer just for you"
+
+
+def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-frequency boilerplate removal with ordered reassembly.
+
+    Scale shape: line document-frequency is a map-side-combining
+    groupBy(line) count — the hot boilerplate keys partial-aggregate on
+    the mappers, so no single reducer sees every copy of a universal
+    footer.  The surviving hot-line list is tiny by pigeonhole (at most
+    total_lines / threshold distinct values, and real thresholds scale
+    with corpus size), so the removal flag is a BROADCAST join — the
+    corpus lines never shuffle.  Reassembly groups per doc (bounded
+    state: one document's own lines) and sorts by position inside the
+    aggregation buffer."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    n_base = F.ceil(
+        F.size(tokens).cast("double") / F.lit(float(_BOILER_WORDS))
+    ).cast("int")
+    idx = F.when(
+        F.size(tokens) > 0, F.sequence(F.lit(0), n_base - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    base = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(tokens, i * _BOILER_WORDS + 1, _BOILER_WORDS), " "
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    all_lines = F.concat(
+        base,
+        F.array(F.lit(_BOILER_FOOTER)),
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_BOILER_RIGHTS)))
+        .otherwise(empty),
+        F.when(F.col("doc_id") % 50 == 0, F.array(F.lit(_BOILER_OFFER)))
+        .otherwise(empty),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(all_lines).alias("i", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > _BOILER_MAX_DF)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(hot), "line", "left")
+    ls = F.sort_array(F.collect_list(F.struct("i", "line", "is_boiler")))
+    agg = flagged.groupBy("doc_id").agg(ls.alias("ls"))
+    kept = F.filter(F.col("ls"), lambda s: s["is_boiler"].isNull())
+    return agg.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept, lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+        (F.size("ls") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.size("ls").cast("bigint").alias("n_lines"),
+    )
+
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents
+),
+nb AS (
+  SELECT doc_id, tokens,
+         CAST(ceil(len(tokens) / {float(_BOILER_WORDS)}) AS BIGINT) AS n_base
+  FROM toks
+),
+base AS (
+  SELECT doc_id, i,
+         array_to_string(
+           tokens[i * {_BOILER_WORDS} + 1 : i * {_BOILER_WORDS}
+                  + {_BOILER_WORDS}], ' ') AS line
+  FROM nb, unnest(range(n_base)) AS u(i)
+),
+lines AS (
+  SELECT doc_id, i, line FROM base
+  UNION ALL
+  SELECT doc_id, n_base AS i, '{_BOILER_FOOTER}' AS line FROM nb
+  UNION ALL
+  SELECT doc_id, n_base + 1, '{_BOILER_RIGHTS}' FROM nb WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, n_base + 2, '{_BOILER_OFFER}' FROM nb WHERE doc_id % 50 = 0
+),
+hot AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) > {_BOILER_MAX_DF}
+),
+flagged AS (
+  SELECT doc_id, i, line, line IN (SELECT line FROM hot) AS is_boiler
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(CASE WHEN NOT is_boiler THEN line END,
+                    chr(10) ORDER BY i), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_removed,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM flagged GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------- PII redaction
 
 # Patterns restricted to the Java-regex ∩ RE2 common subset (character
@@ -996,4 +1114,8 @@ QUERIES: list[Q] = [
     Q("pii_redact", _pii_redact, _PII_SQL,
       "regex PII redaction (email/IPv4/phone) + match counts; pure "
       "JVM expression chain in the Java-regex ∩ RE2 common subset"),
+    Q("strip_boilerplate", _strip_boilerplate, _BOILER_SQL,
+      "C4-style line-frequency boilerplate removal: map-side-combining "
+      "line-DF count, broadcast hot-line flag join, ordered per-doc "
+      "reassembly"),
 ]

@@ -221,3 +221,15 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "CartesianProduct" not in plan
     # per-doc overlap count is a partial+final hash agg
     assert plan.count("HashAggregate") >= 2
+
+
+def test_strip_boilerplate_counts_df_mapside_and_broadcasts_hot(spark):
+    """Line document-frequency must be a partial+final groupBy count
+    (a window over the line partitioning would pile every copy of a
+    universal footer onto one reducer), and the hot-line flag must come
+    back via a broadcast join — the corpus lines never shuffle for it."""
+    plan = _formatted_plan(spark, "strip_boilerplate")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
