@@ -993,6 +993,55 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- vocabulary construction
+
+# Tokenizer-training prep: global token frequencies + document frequencies,
+# top-K by count.  The scale shape is the classic heavy-hitters plan:
+# map-side-combining count agg (hot tokens partial-aggregate on the
+# mappers), then a global top-K that must plan as TakeOrderedAndProject
+# (per-partition heaps + driver merge of K rows) — NEVER a full sort of
+# the token-frequency table, which at 100 TB is itself billions of rows.
+_VOCAB_K = 50
+
+
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # total tiebreak (count desc, token asc) keeps the K-th boundary
+    # deterministic across partitionings and engines
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(_VOCAB_K)
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, token
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '')
+             AS tokens
+    FROM documents
+  ), unnest(tokens) AS u(token)
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {_VOCAB_K}
+"""
+
+
 # --------------------------------------------------------------- PII redaction
 
 # Patterns restricted to the Java-regex ∩ RE2 common subset (character
@@ -1118,4 +1167,8 @@ QUERIES: list[Q] = [
       "C4-style line-frequency boilerplate removal: map-side-combining "
       "line-DF count, broadcast hot-line flag join, ordered per-doc "
       "reassembly"),
+    Q("vocab_topk", _vocab_topk, _VOCAB_SQL,
+      "tokenizer-vocabulary heavy hitters: token/document frequencies "
+      "with a TakeOrderedAndProject global top-K (no full sort of the "
+      "frequency table)"),
 ]

@@ -233,3 +233,14 @@ def test_strip_boilerplate_counts_df_mapside_and_broadcasts_hot(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_is_heap_topk_not_global_sort(spark):
+    """The global top-K over token frequencies must plan as
+    TakeOrderedAndProject (per-partition heaps, driver merges K rows) —
+    a full Sort of the frequency table is billions of rows at scale —
+    and the count agg must partial-aggregate map-side."""
+    plan = _formatted_plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2
