@@ -50,6 +50,7 @@ HEADLINE = [
     "decontaminate",        # broadcast benchmark-gram overlap
     "pii_redact",           # zero-shuffle regex scrub
     "strip_boilerplate",    # line-DF gate + broadcast flag + reassembly
+    "vocab_topk",           # heavy hitters via TakeOrderedAndProject
     "cosine_topk",          # brute-force ANN baseline
     "ann_ivf",              # IVF ANN scale path
     "multimodal_decode",    # Arrow-batch decode plumbing

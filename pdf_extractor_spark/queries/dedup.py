@@ -64,29 +64,36 @@ _SHINGLE_K = 3      # words per shingle
 
 # ------------------------------------------------- derived dup-bearing corpus
 
+# id offsets for the derived copies; _COPY_OFFSET is ALSO the boundary
+# "original vs derived" (decontaminate excludes benchmark ORIGINALS by
+# it) — one constant, every user derives from it
+_COPY_OFFSET = 1_000_000
+_NEAR_OFFSET = 2_000_000
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (
         d.filter(F.col("doc_id") % 10 < 2)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
     )
     near = (
         d.filter(F.col("doc_id") % 10 == 3)
         .select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
             F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
         )
     )
     return d.unionByName(exact).unionByName(near)
 
 
-_CORPUS_SQL = r"""
+_CORPUS_SQL = rf"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
   WHERE doc_id % 10 < 2
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id,
+  SELECT doc_id + {_NEAR_OFFSET} AS doc_id,
          regexp_replace(text, '^\S+\s+', '') AS text
   FROM documents WHERE doc_id % 10 = 3
 """
@@ -546,6 +553,22 @@ FROM sh
 _CC_MAX_ITERS = 64
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint's storage NOW, not at the next GC.
+
+    ``Dataset.unpersist()`` only clears CacheManager entries created by
+    ``persist()`` — a checkpoint's blocks hang off the materialized RDD
+    and otherwise live until the ContextCleaner collects the reference.
+    A checkpointed frame's analyzed plan is exactly a LogicalRDD wrapping
+    that RDD, so unpersist it there (verified: getPersistentRDDs drops to
+    zero).  Best-effort: on any interface drift the blocks fall back to
+    ContextCleaner GC, which is correctness-neutral."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def cc_labels(edges: DataFrame) -> DataFrame:
     """Connected components over an undirected edge list → (doc_id, label)
     with label = min doc_id reachable (the canonical representative).
@@ -603,10 +626,13 @@ def cc_labels(edges: DataFrame) -> DataFrame:
         n_changed = (
             upd.filter(F.col("new_label") != F.col("label")).count()
         )
-        prev_ck.unpersist()
+        _free_checkpoint(prev_ck)
         prev_ck = upd
         labels = upd.select("doc_id", F.col("new_label").alias("label"))
         if n_changed == 0:
+            # sym is no longer needed once converged; the final round's
+            # checkpoint (labels' parent) stays live for the caller
+            _free_checkpoint(sym)
             return labels
     raise RuntimeError(
         f"connected components did not converge in {_CC_MAX_ITERS} rounds"
@@ -614,17 +640,24 @@ def cc_labels(edges: DataFrame) -> DataFrame:
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     pairs = _minhash_pairs_cached(spark, sf_dir)
-    lab = cc_labels(pairs)
-    w = Window.partitionBy("cluster_id")
-    return (
-        lab.select("doc_id", F.col("label").alias("cluster_id"))
-        .withColumn(
-            "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
-        )
-        .withColumn("is_keep", F.col("doc_id") == F.col("cluster_id"))
+    lab = cc_labels(pairs).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    # cluster_size via map-side-combining groupBy + join back, NOT a
+    # window over the cluster partitioning: a mega-cluster (a page
+    # mirrored millions of times collapses to ONE cluster) would pile
+    # every member onto a single window task, while the count agg
+    # partial-aggregates on the mappers and the join back is an
+    # AQE-splittable keyed join (plan-gated: no Window)
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keep"),
     )
 
 
@@ -678,7 +711,7 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_grams = _shingles(bench).select("shingle").distinct()
     train = _corpus(spark, sf_dir).filter(
         ~(
-            (F.col("doc_id") < 1_000_000)
+            (F.col("doc_id") < _COPY_OFFSET)
             & (F.col("doc_id") % _DECON_BENCH_MOD == 0)
         )
     )
@@ -705,7 +738,7 @@ bench_grams AS (
 ),
 train AS (
   SELECT doc_id, text FROM corpus
-  WHERE NOT (doc_id < 1000000 AND doc_id % {_DECON_BENCH_MOD} = 0)
+  WHERE NOT (doc_id < {_COPY_OFFSET} AND doc_id % {_DECON_BENCH_MOD} = 0)
 ),
 train_shingles AS ({_shingles_sql("train")})
 SELECT doc_id, count(*) AS n_hits

