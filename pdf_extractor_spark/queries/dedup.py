@@ -693,6 +693,38 @@ FROM lab
 """
 
 
+def _dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup story: the corpus with every non-canonical
+    cluster member REMOVED (exactly one survivor — the min doc_id — per
+    duplicate cluster; untouched docs pass through).
+
+    Scale shape: the drop list is the duplicate subset (≪ corpus) keyed
+    on doc_id, so the removal is one keyed LEFT ANTI join against the
+    corpus — no second pass over text, no sort.  Output carries
+    md5(text) rather than text so the hash gate compares slim rows."""
+    c = _corpus(spark, sf_dir)
+    drop = (
+        _dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_keep"))
+        .select("doc_id")
+    )
+    return c.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+
+
+def _dedup_apply_sql() -> str:
+    return f"""
+WITH clusters AS (
+  SELECT * FROM ({_clusters_sql()}) q
+),
+corpus AS ({_CORPUS_SQL})
+SELECT c.doc_id, md5(c.text) AS text_md5
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM clusters WHERE NOT is_keep)
+"""
+
+
 # ------------------------------------------------- benchmark decontamination
 
 # Benchmark membership: every ~97th ORIGINAL document plays the held-out
@@ -766,4 +798,7 @@ QUERIES: list[Q] = [
     Q("decontaminate", _decontaminate, _DECON_SQL,
       "benchmark decontamination: distinct-shingle overlap of the "
       "training corpus vs a broadcast held-out benchmark gram set"),
+    Q("dedup_apply", _dedup_apply, _dedup_apply_sql,
+      "applied dedup: corpus anti-joined against the non-canonical "
+      "cluster members — one survivor per duplicate cluster"),
 ]

@@ -187,3 +187,29 @@ def test_cc_labels_matches_union_find_on_random_graphs(spark):
         assert got == uf_labels(edges)
 
     prop()
+
+
+def test_dedup_apply_one_survivor_per_cluster(spark):
+    """Applied dedup keeps exactly the cluster minimum and everything
+    unpaired; survivors ∪ dropped = corpus."""
+    from pdf_extractor_spark.queries.dedup import (
+        _corpus,
+        _dedup_apply,
+        _dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    survivors = {r.doc_id for r in _dedup_apply(spark, sf).collect()}
+    clusters = _dedup_clusters(spark, sf).collect()
+    corpus_ids = {r.doc_id for r in _corpus(spark, sf).select("doc_id").collect()}
+
+    in_cluster = {r.doc_id for r in clusters}
+    keeps = {r.doc_id for r in clusters if r.is_keep}
+    assert survivors == (corpus_ids - in_cluster) | keeps
+    # exactly one survivor per cluster
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        alive = [m.doc_id for m in members if m.doc_id in survivors]
+        assert alive == [cid]
