@@ -52,9 +52,20 @@ def curate(
     out_dir: str,
     min_quality: float = DEFAULT_MIN_QUALITY,
     lang: str = "en",
+    run_id: str | None = None,
 ) -> dict:
     """Route ``docs`` (doc_id, text) through the gates; returns the
-    audit summary as a dict."""
+    audit summary as a dict.
+
+    ``run_id`` namespaces the published outputs under
+    ``<out_dir>/runs/<run_id>/`` so repeated intakes accumulate instead
+    of clobbering: with the default (None) the outputs live directly in
+    ``out_dir`` and a re-run OVERWRITES the previous run's accepted/
+    decisions/audit — single-shot semantics.  The store ingest is
+    cumulative either way (day 2 still dedups against day 1); only the
+    published files need the namespace."""
+    if run_id is not None:
+        out_dir = os.path.join(out_dir, "runs", run_id)
     q = quality_cols()
     lid = langid_cols()
     gated = docs.select(
@@ -105,9 +116,12 @@ def curate(
 
     accepted_ids = decisions.filter(F.col("reason") == "accepted") \
         .select("doc_id")
+    # materialize once: both the store ingest and the publish consume
+    # this frame, and its lineage re-scans + re-semi-joins the raw input
+    # corpus — the dominant I/O of the whole step — if left lazy
     accepted = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
-    ).join(accepted_ids, "doc_id", "semi")
+    ).join(accepted_ids, "doc_id", "semi").localCheckpoint(eager=True)
     # ingest first (idempotent on replay), then publish
     add_batch(spark, store_name, accepted)
     accepted.write.mode("overwrite").parquet(

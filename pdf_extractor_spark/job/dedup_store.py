@@ -40,6 +40,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the commit-lock discipline is shared with the upsert table (one
+# protocol, one recovery contract: a crashed writer leaves a stale lock;
+# upsert.force_unlock clears it after operator review)
+from pdf_extractor_spark.job.upsert import (
+    _acquire_lock,
+    _release_lock,
+)
 from pdf_extractor_spark.queries.dedup import band_rows
 
 N_STORE_BUCKETS = 16
@@ -221,51 +228,75 @@ def compact_store(spark: SparkSession, store_dir: str, name: str) -> int:
     leaves the live store untouched (the new dirs are uncommitted
     garbage, cleared by the next compact); a crash after the swap is
     healed by ``open_store``, which re-points intra-store stale catalog
-    entries at the committed generation.  Returns the new generation."""
+    entries at the committed generation, and any generation dirs a
+    post-commit crash left behind are swept by the NEXT compact.
+    Returns the new generation.
+
+    Holds the store commit lock for the whole read→write→swap→sweep
+    span: a concurrent ``add_batch`` would otherwise append its
+    signature files into the generation being superseded — the commit
+    would not include them and the sweep would DELETE them, silently
+    admitting every future copy of those texts as clean."""
     import shutil
 
-    old_fp, old_bands = _subdirs(store_dir)
-    old_gen = _generation(store_dir)
-    new_gen = 0 if old_gen is None else old_gen + 1
-    specs = (
-        (_fp_table(name), _FP_SCHEMA, old_fp, f"fp-g{new_gen}",
-         "fingerprint"),
-        (_bands_table(name), _BANDS_SCHEMA, old_bands,
-         f"bands-g{new_gen}", "band_hash"),
-    )
-    for table, schema, old_sub, sub, key in specs:
-        tmp_table = f"{table}__compact"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-        target = os.path.join(store_dir, sub)
-        if os.path.exists(target):          # crashed earlier attempt
-            shutil.rmtree(target)
-        # read the PHYSICAL files, not the catalog table: the bucketed
-        # scan advertises HashPartitioning so Catalyst elides the
-        # repartition, but an auto-disabled bucketed scan actually reads
-        # file-per-split — the write then lands one file per (task,
-        # bucket) and the fragmentation survives compaction.  A plain
-        # path read has no claimed partitioning, so the repartition
-        # stands and each task holds exactly its one bucket.  Explicit
-        # schema keeps an empty store compactable.
-        src = spark.read.schema(schema).parquet(
-            os.path.join(store_dir, old_sub)
+    lock = _acquire_lock(store_dir)
+    try:
+        old_fp, old_bands = _subdirs(store_dir)
+        old_gen = _generation(store_dir)
+        new_gen = 0 if old_gen is None else old_gen + 1
+        specs = (
+            (_fp_table(name), _FP_SCHEMA, old_fp, f"fp-g{new_gen}",
+             "fingerprint"),
+            (_bands_table(name), _BANDS_SCHEMA, old_bands,
+             f"bands-g{new_gen}", "band_hash"),
         )
-        (
-            src.repartition(N_STORE_BUCKETS, F.col(key))
-            .write.format("parquet").mode("overwrite")
-            .bucketBy(N_STORE_BUCKETS, key)
-            .sortBy(key)
-            .option("path", target)
-            .saveAsTable(tmp_table)
-        )
-        spark.sql(f"DROP TABLE {tmp_table}")   # external — files stay
-    _commit_generation(store_dir, new_gen)     # COMMIT POINT
-    for table, *_ in specs:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-    open_store(spark, store_dir, name)
-    for sub in (old_fp, old_bands):
-        shutil.rmtree(os.path.join(store_dir, sub), ignore_errors=True)
-    return new_gen
+        for table, schema, old_sub, sub, key in specs:
+            tmp_table = f"{table}__compact"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            target = os.path.join(store_dir, sub)
+            if os.path.exists(target):          # crashed earlier attempt
+                shutil.rmtree(target)
+            # read the PHYSICAL files, not the catalog table: the bucketed
+            # scan advertises HashPartitioning so Catalyst elides the
+            # repartition, but an auto-disabled bucketed scan actually
+            # reads file-per-split — the write then lands one file per
+            # (task, bucket) and the fragmentation survives compaction.
+            # A plain path read has no claimed partitioning, so the
+            # repartition stands and each task holds exactly its one
+            # bucket.  Explicit schema keeps an empty store compactable.
+            src = spark.read.schema(schema).parquet(
+                os.path.join(store_dir, old_sub)
+            )
+            (
+                src.repartition(N_STORE_BUCKETS, F.col(key))
+                .write.format("parquet").mode("overwrite")
+                .bucketBy(N_STORE_BUCKETS, key)
+                .sortBy(key)
+                .option("path", target)
+                .saveAsTable(tmp_table)
+            )
+            spark.sql(f"DROP TABLE {tmp_table}")   # external — files stay
+        _commit_generation(store_dir, new_gen)     # COMMIT POINT
+        for table, *_ in specs:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        open_store(spark, store_dir, name)
+        # sweep EVERY superseded data dir, not just this run's source: a
+        # crash after a previous commit but before its cleanup leaves
+        # that generation's dirs (corpus-sized signature copies) leaked
+        # forever otherwise
+        keep = {f"fp-g{new_gen}", f"bands-g{new_gen}"}
+        for d in os.listdir(store_dir):
+            if d in keep:
+                continue
+            if (
+                d.startswith("fp-g") or d.startswith("bands-g")
+                or d in ("fp", "bands")     # legacy pre-generation layout
+            ):
+                shutil.rmtree(os.path.join(store_dir, d),
+                              ignore_errors=True)
+        return new_gen
+    finally:
+        _release_lock(*lock)
 
 
 def check_batch(spark: SparkSession, name: str,
@@ -353,7 +384,32 @@ def add_batch(spark: SparkSession, name: str, batch: DataFrame) -> None:
     """Ingest a batch: append its fingerprints, and band rows for docs
     whose text is NEW to the store (reps of unseen fingerprints).
     Appends go through the same bucket spec, so the no-shuffle check
-    invariant survives store growth."""
+    invariant survives store growth.
+
+    Holds the store commit lock for the anti-join→append span so an
+    append can never interleave with a compaction (see compact_store —
+    an append into the generation being superseded would be deleted by
+    the sweep)."""
+    lock = _acquire_lock(_store_dir_of(spark, name))
+    try:
+        _add_batch_locked(spark, name, batch)
+    finally:
+        _release_lock(*lock)
+
+
+def _store_dir_of(spark: SparkSession, name: str) -> str:
+    """The store root (parent of the generation data dir) the catalog
+    entry resolves to — the lock must live at the store root so every
+    writer (add_batch here, compact_store via its explicit store_dir)
+    contends on the SAME file."""
+    loc = _table_location(spark, _fp_table(name))
+    if loc is None:
+        raise ValueError(f"store table {_fp_table(name)} is not open")
+    return os.path.dirname(loc)
+
+
+def _add_batch_locked(spark: SparkSession, name: str,
+                      batch: DataFrame) -> None:
     fp = _fingerprints(batch)
     store_fp = spark.table(_fp_table(name))
     new_fp = fp.join(store_fp, "fingerprint", "anti")

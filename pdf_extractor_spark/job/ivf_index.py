@@ -21,6 +21,19 @@ appends their cell partitions — the standard IVF maintenance path (new
 data lands in existing cells; refit is an offline rebuild, not a
 serving-path operation).
 
+Rebuild atomicity: centroids and cells must always come from the SAME
+fit — cells partitioned by a new assignment paired with old centroids
+makes search probe the wrong directories and silently lose neighbors.
+A (re)build therefore writes everything under a fresh ``gen-<n>/`` dir
+and commits with an atomic ``_GEN`` pointer swap (the dedup-store /
+upsert snapshot discipline); a crash mid-rebuild leaves the live
+generation untouched.  ``build_index``/``add_vectors`` take the store
+commit lock so a rebuild and an append cannot interleave (an append
+landing in a generation that the rebuild is about to supersede would be
+silently lost).  ``search`` is lock-free; a search racing an offline
+rebuild may fail on the swept old generation and should be retried —
+never silently wrong.
+
 Fit, assignment, probe, and scoring all reuse the exact expressions of
 ``queries/similarity.py``, so ``search`` over a freshly built index is
 row-identical to the ``ann_ivf`` query on the same corpus
@@ -36,6 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# the pointer-file and commit-lock disciplines are shared with the other
+# persisted stores — one protocol, one set of failure modes
+from pdf_extractor_spark.job.dedup_store import (
+    _commit_generation,
+    _generation,
+)
+from pdf_extractor_spark.job.upsert import (
+    _acquire_lock,
+    _release_lock,
+)
 from pdf_extractor_spark.queries.base import load
 from pdf_extractor_spark.queries.similarity import (
     _N_PROBE,
@@ -47,16 +70,25 @@ from pdf_extractor_spark.queries.similarity import (
 )
 
 
+def _gen_root(index_dir: str) -> str:
+    """Directory of the COMMITTED generation (legacy pre-generation
+    indexes keep their flat layout at the index root)."""
+    gen = _generation(index_dir)
+    if gen is None:
+        return index_dir
+    return os.path.join(index_dir, f"gen-{gen}")
+
+
 def _cells_dir(index_dir: str) -> str:
-    return os.path.join(index_dir, "cells")
+    return os.path.join(_gen_root(index_dir), "cells")
 
 
 def _centroids_dir(index_dir: str) -> str:
-    return os.path.join(index_dir, "centroids")
+    return os.path.join(_gen_root(index_dir), "centroids")
 
 
 def _schema_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_CELLS_SCHEMA.json")
+    return os.path.join(_gen_root(index_dir), "_CELLS_SCHEMA.json")
 
 
 def _cells_reader(spark: SparkSession, index_dir: str):
@@ -75,40 +107,71 @@ def _cells_reader(spark: SparkSession, index_dir: str):
 
 def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> int:
     """Fit the coarse quantizer on ``sf_dir``'s embeddings and persist
-    centroids + cell-partitioned vectors.  Returns the vector count."""
-    cents = _fitted_centroids(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # an empty corpus fits zero centroids; the assignment expression
-    # needs ≥1 centroid to build, so stamp the (zero) rows directly —
-    # the layout stays valid and search returns empty
-    if not cents:
-        assigned = e.withColumn("cell_id", F.lit(0).cast("bigint"))
-    else:
-        assigned = _assign_cells(e, cents, "embedding")
-    # materialize once: the count rides the same job as the write input
-    # instead of a full re-read of the just-written cell files (the
-    # add_vectors pattern) — at index scale that second scan is the
-    # whole corpus again
-    assigned = assigned.localCheckpoint(eager=True)
-    n = assigned.count()
-    (
-        assigned.write.mode("overwrite")
-        .partitionBy("cell_id")
-        .parquet(_cells_dir(index_dir))
-    )
+    centroids + cell-partitioned vectors into a fresh generation,
+    committed by an atomic ``_GEN`` pointer swap.  Returns the vector
+    count.  Safe to call on a live index (rebuild): a crash anywhere
+    before the swap leaves the committed generation untouched; the swap
+    is the single commit point after which searches see the new fit."""
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
-    with open(_schema_path(index_dir), "w") as f:
-        json.dump(json.loads(assigned.schema.json()), f)
-    (
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cell_id int, centroid array<double>",
+    lock = _acquire_lock(index_dir)
+    try:
+        old_gen = _generation(index_dir)
+        new_gen = 0 if old_gen is None else old_gen + 1
+        root = os.path.join(index_dir, f"gen-{new_gen}")
+        if os.path.exists(root):            # crashed earlier attempt
+            shutil.rmtree(root)
+        os.makedirs(root)
+
+        cents = _fitted_centroids(spark, sf_dir)
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # an empty corpus fits zero centroids; the assignment expression
+        # needs ≥1 centroid to build, so stamp the (zero) rows directly —
+        # the layout stays valid and search returns empty
+        if not cents:
+            assigned = e.withColumn("cell_id", F.lit(0).cast("bigint"))
+        else:
+            assigned = _assign_cells(e, cents, "embedding")
+        # materialize once: the count rides the same job as the write
+        # input instead of a full re-read of the just-written cell files
+        # (the add_vectors pattern) — at index scale that second scan is
+        # the whole corpus again
+        assigned = assigned.localCheckpoint(eager=True)
+        n = assigned.count()
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(os.path.join(root, "cells"))
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_centroids_dir(index_dir))
-    )
-    return n
+        with open(os.path.join(root, "_CELLS_SCHEMA.json"), "w") as f:
+            json.dump(json.loads(assigned.schema.json()), f)
+        (
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cell_id int, centroid array<double>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "centroids"))
+        )
+        _commit_generation(index_dir, new_gen)          # COMMIT POINT
+        # sweep superseded layouts: older generations, plus the flat
+        # pre-generation layout a legacy index kept at the root
+        for d in os.listdir(index_dir):
+            full = os.path.join(index_dir, d)
+            if d.startswith("gen-") and d != f"gen-{new_gen}":
+                shutil.rmtree(full, ignore_errors=True)
+            elif d in ("cells", "centroids"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif d == "_CELLS_SCHEMA.json":
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+        return n
+    finally:
+        _release_lock(*lock)
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
@@ -123,20 +186,36 @@ def add_vectors(spark: SparkSession, index_dir: str,
                 vectors: DataFrame) -> int:
     """Assign ``vectors`` (vec_id, embedding) with the STORED centroids
     and append them to their cell partitions — no refit, no rewrite of
-    existing cells.  Returns the number of vectors added."""
-    cents = load_centroids(spark, index_dir)
-    # materialize once: count() would otherwise run the full scan +
-    # k×dim assignment job and the write would recompute it from scratch
-    assigned = _assign_cells(
-        vectors.select("vec_id", "embedding"), cents, "embedding"
-    ).localCheckpoint(eager=True)
-    n = assigned.count()
-    (
-        assigned.write.mode("append")
-        .partitionBy("cell_id")
-        .parquet(_cells_dir(index_dir))
-    )
-    return n
+    existing cells.  Returns the number of vectors added.  Takes the
+    commit lock so an append cannot interleave with a rebuild (the
+    append would land in a generation about to be swept)."""
+    lock = _acquire_lock(index_dir)
+    try:
+        cents = load_centroids(spark, index_dir)
+        if not cents:
+            # an index built from an empty corpus has no quantizer; the
+            # assignment expression over zero centroids is an analysis
+            # error (array<void> matrix) — fail with the actual contract
+            raise ValueError(
+                f"index at {index_dir} has no fitted centroids (built "
+                "from an empty corpus); rebuild with build_index once "
+                "data exists"
+            )
+        # materialize once: count() would otherwise run the full scan +
+        # k×dim assignment job and the write would recompute it from
+        # scratch
+        assigned = _assign_cells(
+            vectors.select("vec_id", "embedding"), cents, "embedding"
+        ).localCheckpoint(eager=True)
+        n = assigned.count()
+        (
+            assigned.write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(_cells_dir(index_dir))
+        )
+        return n
+    finally:
+        _release_lock(*lock)
 
 
 def search(
@@ -172,7 +251,14 @@ def search(
             .withColumn("score", F.lit(0.0))
             .withColumn("cell_id", F.lit(0).cast("bigint"))
         )
-    probes = _probe_cells(queries, "q_emb", cents, n_probe)
+    # pin ONE probe assignment: the collect below and the join both
+    # consume probes — without the checkpoint a non-deterministic
+    # queries source could be re-assigned on the join side to a cell the
+    # collected literal filter already pruned away (silent lost
+    # candidates), and even a deterministic source pays the k×dim
+    # scoring pass twice
+    probes = _probe_cells(queries, "q_emb", cents, n_probe) \
+        .localCheckpoint(eager=False)
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )

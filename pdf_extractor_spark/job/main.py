@@ -131,6 +131,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
     summary = curate(
         spark, docs, args.store_name, args.output,
         min_quality=args.min_quality, lang=args.lang,
+        run_id=args.run_id,
     )
     print(
         f"curate: {summary['n_accepted']}/{summary['n_input']} accepted, "
@@ -216,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-quality", type=float,
                     default=DEFAULT_MIN_QUALITY)
     pc.add_argument("--lang", default="en")
+    pc.add_argument("--run-id", default=None,
+                    help="namespace published outputs under runs/<id>/ "
+                         "so repeated intakes accumulate (default: "
+                         "overwrite in place — single-shot semantics)")
     pc.set_defaults(fn=cmd_curate)
 
     pk = sub.add_parser(

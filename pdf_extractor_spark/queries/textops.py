@@ -302,6 +302,10 @@ def quality_cols() -> dict:
         + 0.5 * F.least(mean_tok_len / 8.0, F.lit(1.0)),
         4,
     )
+    # NULL text must score 0, not slip through: least() IGNORES a NULL
+    # operand, so a NULL n_chars would make len_score a perfect 1.0 and
+    # the doc would pass a >= 0.5 curation gate with no content at all
+    score = F.when(F.col("text").isNull(), F.lit(0.0)).otherwise(score)
     return {
         "n_tokens": F.size(tokens).cast("bigint"),
         "n_chars": n_chars.cast("bigint"),
@@ -340,9 +344,12 @@ SELECT doc_id,
        n_tok::BIGINT   AS n_tokens,
        n_chars::BIGINT AS n_chars,
        mean_token_len,
-       (floor((0.5 * least(n_chars / 400.0, 1.0)
-               + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0 + 0.5)
-        / 10000.0) AS quality_score
+       CASE WHEN n_chars IS NULL THEN 0.0   -- NULL text scores 0 (see
+            -- quality_cols: least() would ignore the NULL and pass it)
+            ELSE (floor((0.5 * least(n_chars / 400.0, 1.0)
+                    + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0
+                   + 0.5) / 10000.0)
+       END AS quality_score
 FROM m
 """
 
@@ -600,9 +607,11 @@ WITH t AS (
   FROM t
 ), s AS (
   SELECT doc_id, text_md5,
-         (floor((0.5 * least(n_chars / 400.0, 1.0)
-                 + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0 + 0.5)
-          / 10000.0) AS quality_score,
+         CASE WHEN n_chars IS NULL THEN 0.0  -- NULL text scores 0
+              ELSE (floor((0.5 * least(n_chars / 400.0, 1.0)
+                      + 0.5 * least(mean_token_len / 8.0, 1.0)) * 10000.0
+                     + 0.5) / 10000.0)
+         END AS quality_score,
          CASE WHEN ln_tok > 0
                AND (floor((n_markers::DOUBLE / ln_tok::DOUBLE) * 10000.0
                           + 0.5) / 10000.0) >= 0.05

@@ -123,7 +123,16 @@ def stream_dedup(
 
 
 def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
+    import glob
+
     base = os.path.join(out_dir, "decisions")
+    # a stream that processed zero batches never created decisions/ —
+    # an empty stream must read as zero decisions, not PATH_NOT_FOUND
+    # (same totality rule as the empty IVF index and sink.batch_input)
+    if not glob.glob(os.path.join(base, "batch=*")):
+        return spark.createDataFrame(
+            [], "doc_id bigint, verdict string, matched bigint"
+        )
     return spark.read.option("basePath", base).parquet(
         os.path.join(base, "batch=*")
     )

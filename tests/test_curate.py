@@ -143,3 +143,49 @@ def test_gate_order_attributes_cheapest_reason(spark, store, tmp_path):
     )
     summary = curate(spark, docs, store, str(tmp_path / "out"))
     assert summary["by_reason"] == {"low_quality": 2}
+
+
+def test_run_id_namespaces_published_outputs(spark, tmp_path):
+    """Repeated intakes with run_id accumulate under runs/<id>/ instead
+    of clobbering the previous run's accepted/ — the store ingest stays
+    cumulative either way."""
+    import os
+
+    from pdf_extractor_spark.job.dedup_store import create_store
+
+    name = f"curate_runs_{abs(hash(str(tmp_path))) % 10 ** 8}"
+    create_store(str(tmp_path / "store"), name,
+                 spark.createDataFrame([], "doc_id bigint, text string"))
+    out = str(tmp_path / "out")
+    day1 = spark.createDataFrame(
+        [(1, "the a of and is to in " * 30)], "doc_id bigint, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(2, "scan the key and a table of sort to merge in row " * 10)],
+        "doc_id bigint, text string",
+    )
+    s1 = curate(spark, day1, name, out, run_id="d1")
+    s2 = curate(spark, day2, name, out, run_id="d2")
+    assert s1["n_accepted"] == 1 and s2["n_accepted"] == 1
+    a1 = spark.read.parquet(os.path.join(out, "runs", "d1", "accepted"))
+    a2 = spark.read.parquet(os.path.join(out, "runs", "d2", "accepted"))
+    assert [r.doc_id for r in a1.collect()] == [1]
+    assert [r.doc_id for r in a2.collect()] == [2]
+
+
+def test_null_text_is_rejected_as_low_quality(spark, tmp_path):
+    """NULL text must gate out as low_quality (quality_score 0), never
+    be published to accepted/: least() ignores a NULL length, which
+    previously scored a content-free doc exactly at the 0.5 gate."""
+    from pdf_extractor_spark.job.dedup_store import create_store
+
+    name = f"curate_null_{abs(hash(str(tmp_path))) % 10 ** 8}"
+    create_store(str(tmp_path / "store"), name,
+                 spark.createDataFrame([], "doc_id bigint, text string"))
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the a of and is to in " * 30)],
+        "doc_id bigint, text string",
+    )
+    summary = curate(spark, docs, name, str(tmp_path / "out"), lang="en")
+    assert summary["by_reason"].get("low_quality") == 1
+    assert summary["n_accepted"] == 1

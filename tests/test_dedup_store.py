@@ -277,3 +277,53 @@ def test_open_store_heals_intra_store_stale_pointer(spark, store, tmp_path):
     got = check_batch(spark, store, _batch(spark))
     assert {(r.doc_id, r.dup_of) for r in got["exact"].collect()} \
         == {(100, 3)}
+
+
+def test_writers_are_mutually_excluded_by_commit_lock(
+    spark, store, tmp_path
+):
+    """compact_store and add_batch take the store commit lock: a
+    concurrent compaction could otherwise sweep an in-flight append's
+    files (silently admitting every future copy of those texts)."""
+    import os
+
+    from pdf_extractor_spark.job.dedup_store import add_batch, compact_store
+    from pdf_extractor_spark.job.upsert import ConcurrentWriteError
+
+    sdir = str(tmp_path / "store")
+    lock_path = os.path.join(sdir, "_COMMIT_LOCK")
+    with open(lock_path, "w") as f:
+        f.write("pid=0 token=test-holder\n")
+    batch = spark.createDataFrame(
+        [(900, "locked out text")], "doc_id bigint, text string"
+    )
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            compact_store(spark, sdir, store)
+        with pytest.raises(ConcurrentWriteError):
+            add_batch(spark, store, batch)
+    finally:
+        os.unlink(lock_path)
+    # lock released → both proceed
+    add_batch(spark, store, batch)
+    compact_store(spark, sdir, store)
+
+
+def test_compact_sweeps_stale_generations(spark, store, tmp_path):
+    """A crash AFTER the _GEN commit but before cleanup leaks the old
+    generation's dirs; the next compact must sweep every superseded
+    generation, not just its own source."""
+    import os
+
+    from pdf_extractor_spark.job.dedup_store import compact_store
+
+    sdir = str(tmp_path / "store")
+    # simulate the leak: a stale pre-crash generation dir
+    os.makedirs(os.path.join(sdir, "fp-g90"))
+    os.makedirs(os.path.join(sdir, "bands-g91"))
+    gen = compact_store(spark, sdir, store)
+    left = {
+        d for d in os.listdir(sdir)
+        if d.startswith("fp-") or d.startswith("bands-")
+    }
+    assert left == {f"fp-g{gen}", f"bands-g{gen}"}

@@ -107,3 +107,13 @@ def test_stream_dedup_replay_is_idempotent(spark, env):
     )
     assert after == before
     assert spark.table(f"{env['name']}_fp").count() == n_fp
+
+
+def test_read_decisions_total_on_zero_batches(spark, tmp_path):
+    """A stream that processed zero batches never created decisions/;
+    reading it must yield an empty frame, not PATH_NOT_FOUND."""
+    from pdf_extractor_spark.streaming.dedup_stream import read_decisions
+
+    got = read_decisions(spark, str(tmp_path / "never-ran"))
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "verdict", "matched"}

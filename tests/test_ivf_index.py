@@ -136,8 +136,57 @@ def test_empty_index_searches_total(spark, tmp_path):
 def test_index_layout_is_cell_partitioned(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     build_index(spark, SF_DIR, idx)
+    from pdf_extractor_spark.job.ivf_index import _cells_dir
+
     cell_dirs = [
-        d for d in os.listdir(os.path.join(idx, "cells"))
+        d for d in os.listdir(_cells_dir(idx))
         if d.startswith("cell_id=")
     ]
     assert len(cell_dirs) > 1, "vectors must spread across cell dirs"
+
+
+def test_rebuild_commits_atomically_and_sweeps(spark, tmp_path):
+    """A rebuild writes a fresh generation and swaps the _GEN pointer;
+    the superseded generation is swept, and search keeps answering
+    identically (centroids and cells always come from ONE fit)."""
+    from pdf_extractor_spark.job.ivf_index import _gen_root
+
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+    g0 = _gen_root(idx)
+    before = {
+        (r.q_id, r.rank, r.n_id)
+        for r in search(spark, idx, _queries_df(spark)).collect()
+    }
+    build_index(spark, SF_DIR, idx)          # offline rebuild
+    g1 = _gen_root(idx)
+    assert g1 != g0 and not os.path.exists(g0)
+    after = {
+        (r.q_id, r.rank, r.n_id)
+        for r in search(spark, idx, _queries_df(spark)).collect()
+    }
+    assert after == before
+
+
+def test_add_vectors_on_empty_index_fails_clearly(spark, tmp_path):
+    """An index built from an empty corpus has no quantizer: add_vectors
+    must raise the contract error, not an analysis exception about a
+    VOID-typed centroid matrix."""
+    import pyspark.sql.functions as SF
+    import pytest
+
+    from pdf_extractor_spark.job.ivf_index import add_vectors
+
+    idx = str(tmp_path / "ivf-empty")
+    empty_sf = str(tmp_path / "sf-empty")
+    os.makedirs(empty_sf)
+    (
+        load(spark, SF_DIR, "embeddings")
+        .filter(SF.lit(False))
+        .write.parquet(os.path.join(empty_sf, "embeddings.parquet"))
+    )
+    build_index(spark, empty_sf, idx)
+    vecs = load(spark, SF_DIR, "embeddings").limit(3) \
+        .select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="no fitted centroids"):
+        add_vectors(spark, idx, vecs)
