@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",  # inverted-index similarity join
     "dedup_simhash",
     "dedup_clusters",       # connected components over candidate pairs
+    "dedup_semantic",       # SemDeDup survivor selection over cosine groups
+    "quality_bins",         # sampled-quantile curriculum binning
     "decontaminate",        # broadcast benchmark-gram overlap
     "pii_redact",           # zero-shuffle regex scrub
     "strip_boilerplate",    # line-DF gate + broadcast flag + reassembly

@@ -194,9 +194,12 @@ def _cell_scores(emb_col, cents: list[list[float]]):
 
 
 def _assign_cells(vecs: DataFrame, cents: list[list[float]],
-                  emb_col: str) -> DataFrame:
+                  emb_col: str, score_col: str | None = None) -> DataFrame:
     """cell_id of the nearest fitted centroid per row (ties → lowest
     cell, via max over (score, -cell)).  Pure map — no join, no shuffle.
+    ``score_col`` additionally keeps the rhu4 cosine to the ASSIGNED
+    centroid (the SemDeDup keep-rule input) — same narrow expression,
+    no extra pass.
 
     Small-input guard: k×dim interpreted fold work per row wants all
     cores, but a bench-scale corpus arrives as one parquet file = one
@@ -208,7 +211,10 @@ def _assign_cells(vecs: DataFrame, cents: list[list[float]],
     if vecs.rdd.getNumPartitions() < para:
         vecs = vecs.repartition(para)
     best = F.array_max(_cell_scores(F.col(emb_col), cents))
-    return vecs.withColumn("cell_id", -best["neg_cell"])
+    out = vecs.withColumn("cell_id", -best["neg_cell"])
+    if score_col is not None:
+        out = out.withColumn(score_col, best["score"])
+    return out
 
 
 def _probe_cells(df: DataFrame, emb_col: str, cents: list[list[float]],
@@ -319,6 +325,16 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pinned sf0.01 input); DuckDB evaluates assignment, cosine, and
     threshold itself.
     """
+    pairs = _near_dup_pairs(_jittered_cells(spark, sf_dir))
+    return pairs.select("id_a", "id_b", "score")
+
+
+def _jittered_cells(spark: SparkSession, sf_dir: str,
+                    score_col: str | None = None) -> DataFrame:
+    """The shared near-dup test corpus (embeddings ∪ jittered copies of
+    every 10th vector), cell-assigned with the fitted quantizer —
+    consumed by both ``dedup_embedding_cosine`` and ``dedup_semantic``
+    so the two operators see the identical blocking."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     jitter = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -327,9 +343,14 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = e.unionByName(jitter)
-    cells = _assign_cells(
-        corpus, _fitted_centroids(spark, sf_dir), "embedding"
+    return _assign_cells(
+        corpus, _fitted_centroids(spark, sf_dir), "embedding", score_col
     )
+
+
+def _near_dup_pairs(cells: DataFrame) -> DataFrame:
+    """Within-cell pairs at cosine ≥ threshold (id_a < id_b) — the ONLY
+    shuffle is the cell_id-keyed self-join over bounded blocks."""
     a = cells.select(
         F.col("vec_id").alias("id_a"), F.col("cell_id"),
         F.col("embedding").alias("emb_a"),
@@ -340,9 +361,7 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
     scored = _with_cosine(pairs, "emb_a", "emb_b")
-    return scored.filter(
-        F.col("score") >= _NEAR_DUP_THRESHOLD
-    ).select("id_a", "id_b", "score")
+    return scored.filter(F.col("score") >= _NEAR_DUP_THRESHOLD)
 
 
 def _dedup_cosine_sql() -> str:
@@ -387,6 +406,118 @@ WHERE score >= {_NEAR_DUP_THRESHOLD}
 """
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each fitted-quantizer cell,
+    group transitively-connected near-dup vectors (cosine ≥ threshold)
+    and keep ONE survivor per group — the member with the LOWEST cosine
+    to its assigned centroid (the SemDeDup keep rule: retain the example
+    farthest from the cluster's center of mass; tie → lowest vec_id).
+
+    Scale shape: narrow literal-matrix cell assignment (cent_score rides
+    the same expression), a cell_id-keyed pair join over bounded blocks,
+    connected components over the EDGE set only (queries/dedup.py
+    cc_labels — tiny vs the corpus), then the keep rule as two
+    map-side-combining hash aggs + keyed joins: min cent_score per
+    group, min vec_id among members at that score.  A per-group window
+    would pile a mega-group onto one task; the agg+join shape
+    partial-aggregates on the mappers (plan-gated).  Output is only the
+    duplicate-group members (≪ corpus).
+
+    Oracle: the same pinned mirror-fit centroid literals as
+    ``dedup_embedding_cosine``, an independent recursive-CTE closure for
+    the groups (the dedup_clusters oracle strategy), and the keep rule
+    restated as a row_number — different algorithms on every axis, so a
+    propagation or keep-rule bug cannot self-certify."""
+    from pdf_extractor_spark.queries.dedup import cc_labels
+
+    cells = _jittered_cells(spark, sf_dir, score_col="cent_score")
+    edges = _near_dup_pairs(cells).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    lab = cc_labels(edges).select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("group_id")
+    )
+    members = lab.join(
+        cells.select("vec_id", "cell_id", "cent_score"), "vec_id"
+    )
+    min_cs = members.groupBy("group_id").agg(
+        F.min("cent_score").alias("_min_cs")
+    )
+    keep = (
+        members.join(min_cs, "group_id")
+        .filter(F.col("cent_score") == F.col("_min_cs"))
+        .groupBy("group_id")
+        .agg(F.min("vec_id").alias("_keep_id"))
+    )
+    return members.join(keep, "group_id").select(
+        "vec_id", "group_id", "cell_id", "cent_score",
+        (F.col("vec_id") == F.col("_keep_id")).alias("is_keep"),
+    )
+
+
+def _dedup_semantic_sql() -> str:
+    """Deferred for the same reason as ``_dedup_cosine_sql`` (the mirror
+    fit must not run at module import)."""
+    from pdf_extractor_spark.oracle_mirror.ivf import centroid_sql_literals
+
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+             x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cents AS (
+  SELECT cell_id, c_emb FROM {centroid_sql_literals(_PINNED_SF + "/embeddings.parquet")}
+),
+assigned AS (
+  SELECT v.vec_id, v.embedding, c.cell_id,
+         {_cos_sql("c.c_emb", "v.embedding")} AS cscore,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_sql("c.c_emb", "v.embedding")} DESC,
+                    c.cell_id ASC) AS r
+  FROM corpus v, cents c
+),
+cells AS (
+  SELECT vec_id, embedding, cell_id, cscore AS cent_score
+  FROM assigned WHERE r = 1
+),
+dup AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.embedding", "b.embedding")} >= {_NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM dup
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM dup
+),
+nodes AS (SELECT DISTINCT u AS vec_id FROM edges),
+reach(vec_id, root) AS (
+  SELECT vec_id, vec_id AS root FROM nodes
+  UNION
+  SELECT e.v AS vec_id, r.root
+  FROM reach r JOIN edges e ON e.u = r.vec_id
+),
+lab AS (
+  SELECT vec_id, min(root) AS group_id FROM reach GROUP BY vec_id
+),
+members AS (
+  SELECT l.vec_id, l.group_id, c.cell_id, c.cent_score
+  FROM lab l JOIN cells c ON c.vec_id = l.vec_id
+)
+SELECT vec_id, group_id, cell_id, cent_score,
+       row_number() OVER (
+         PARTITION BY group_id
+         ORDER BY cent_score ASC, vec_id ASC) = 1 AS is_keep
+FROM members
+"""
+
+
 QUERIES: list[Q] = [
     # sf_pin: the oracle SQL embeds centroid literals from the mirror fit
     # on the PINNED sf0.01 input, so the Spark side must fit on the same
@@ -398,6 +529,11 @@ QUERIES: list[Q] = [
     Q("dedup_embedding_cosine", _dedup_embedding_cosine, _dedup_cosine_sql,
       "embedding-cosine near-dup pairs, blocked by fitted IVF "
       "coarse-quantizer cell (pinned sf0.01 quantizer oracle)",
+      sf_pin=_PINNED_SF),
+    Q("dedup_semantic", _dedup_semantic, _dedup_semantic_sql,
+      "SemDeDup-style survivor selection: connected components over "
+      "cell-blocked cosine near-dup pairs, keep the member farthest "
+      "from its assigned centroid (pinned sf0.01 quantizer oracle)",
       sf_pin=_PINNED_SF),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),

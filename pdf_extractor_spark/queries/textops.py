@@ -354,6 +354,110 @@ FROM m
 """
 
 
+# ----------------------------------------------- curriculum quality bins
+
+_BIN_FIT_SAMPLE = 256
+_BIN_PCTS = (0.25, 0.50, 0.75)
+
+# quartile thresholds per (Spark app, sf_dir) — the fit is deterministic,
+# caching only saves the repeated sample scan within a session
+_BIN_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _bin_thresholds(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Quartile thresholds of ``quality_score`` from a deterministic
+    hash-bounded sample — the same fit pattern as the IVF quantizer
+    (queries/similarity.py:_fitted_centroids).
+
+    Exact global quantiles need a full sort (and ``ntile`` would pile
+    the whole corpus onto ONE window task); at 100 TB both are
+    scale-killers for what is a 3-number estimate.  Instead:
+    ``orderBy(md5(id), id).limit(n)`` is a TakeOrdered — O(n) heap per
+    partition, exactly ``n`` rows ever reach the driver at ANY corpus
+    size — and the thresholds are exact percentile_disc quantiles OF THE
+    SAMPLE (1-based rank ``ceil(p·n)`` of the ascending scores).  The
+    oracle SQL re-derives the same sample and ranks independently, so
+    the fit spec itself is hash-gated."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BIN_CACHE:
+        import math
+
+        d = load(spark, sf_dir, "documents")
+        c = quality_cols()
+        rows = (
+            d.select(
+                c["quality_score"].alias("s"),
+                F.md5(F.col("doc_id").cast("string")).alias("hk"),
+                "doc_id",
+            )
+            .orderBy("hk", "doc_id")
+            .limit(_BIN_FIT_SAMPLE)
+            .collect()
+        )
+        scores = sorted(float(r.s) for r in rows)
+        n = len(scores)
+        _BIN_CACHE[key] = [
+            scores[max(0, math.ceil(p * n) - 1)] if n else 0.0
+            for p in _BIN_PCTS
+        ]
+    return _BIN_CACHE[key]
+
+
+def _quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: every document labeled with its quality
+    quartile (1 = worst .. 4 = best) — the stratification step a
+    data-curriculum or quality-mixing recipe runs before sampling.
+
+    Bins are VALUE-defined (score ≤ t_p), not rank-defined: equal scores
+    always land in the same bin regardless of partitioning, and the
+    per-row pass is a narrow projection against three broadcast literal
+    thresholds — zero exchanges, zero windows (plan-gated)."""
+    t1, t2, t3 = _bin_thresholds(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    s = quality_cols()["quality_score"]
+    bin_col = (
+        F.when(s <= t1, F.lit(1))
+        .when(s <= t2, F.lit(2))
+        .when(s <= t3, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("bigint")
+    )
+    return d.select(
+        "doc_id", s.alias("quality_score"), bin_col.alias("bin")
+    )
+
+
+_QBINS_SQL = f"""
+WITH q AS (
+  SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) base
+),
+samp AS (
+  SELECT quality_score AS s
+  FROM q
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {_BIN_FIT_SAMPLE}
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn,
+         count(*) OVER () AS n
+  FROM samp
+),
+th AS (
+  SELECT
+    max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN s END) AS t1,
+    max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN s END) AS t2,
+    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN s END) AS t3
+  FROM ranked
+)
+SELECT doc_id, quality_score,
+       CAST(CASE WHEN quality_score <= t1 THEN 1
+                 WHEN quality_score <= t2 THEN 2
+                 WHEN quality_score <= t3 THEN 3
+                 ELSE 4 END AS BIGINT) AS bin
+FROM q, th
+"""
+
+
 _BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
@@ -1151,6 +1255,11 @@ QUERIES: list[Q] = [
       "language-ID marker-ratio heuristic"),
     Q("quality_score", _quality_score, _QUALITY_SQL,
       "document quality scoring"),
+    Q("quality_bins", _quality_bins, _QBINS_SQL,
+      "curriculum quality binning: quartile thresholds fitted on a "
+      "deterministic hash-bounded sample (TakeOrdered, driver-side "
+      "percentile_disc), applied as broadcast literals in one narrow "
+      "pass — no global sort, no ntile window"),
     Q("token_count", _token_count, _TOKEN_COUNT_SQL,
       "whitespace + BPE-ish regex token counting"),
     Q("curation_route", _curation_route, _CURATION_ROUTE_SQL,

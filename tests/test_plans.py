@@ -273,3 +273,26 @@ def test_dedup_clusters_sizes_without_window(spark):
     plan = _formatted_plan(spark, "dedup_clusters")
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_bins_is_one_narrow_pass(spark):
+    """Bin assignment must be scan + project only — the thresholds are
+    broadcast literals from the bounded sample fit, so the per-row pass
+    has zero exchanges and zero windows (an ntile would range-shuffle
+    the corpus onto ~4 tasks)."""
+    plan = _formatted_plan(spark, "quality_bins")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dedup_semantic_keep_rule_without_window(spark):
+    """The SemDeDup keep rule must be map-side-combining hash aggs +
+    keyed joins, never a per-group window (a mega-group — one page
+    embedded millions of times — would serialize onto one window task);
+    and the pair stage must block on cell_id, not a cartesian."""
+    plan = _formatted_plan(spark, "dedup_semantic")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # min_cs and keep_id, partial+final

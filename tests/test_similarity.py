@@ -212,3 +212,33 @@ def test_seed_slice_quantizer_degrades_on_shifted_distribution(
         f"fitted {fitted_recall} should beat seed-slice {seed_recall} "
         "under distribution shift"
     )
+
+
+def test_semantic_dedup_groups_and_keep_rule(spark):
+    """Every jittered copy (cosine to its source = 1.0) must land in a
+    group with its source; each group has exactly ONE keeper; the keeper
+    is the member with the lowest (cent_score, vec_id) — the SemDeDup
+    farthest-from-centroid rule."""
+    rows = QUERIES["dedup_semantic"](spark, SF).collect()
+    assert rows, "jittered corpus must produce duplicate groups"
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    ids = {r.vec_id for r in rows}
+    # jittered ids are source + 1_000_000 — both ends of every jitter
+    # pair must be grouped, and in the SAME group
+    member_group = {r.vec_id: r.group_id for r in rows}
+    jittered = [i for i in ids if i >= 1_000_000]
+    assert jittered, "expected jittered members"
+    for j in jittered:
+        assert j - 1_000_000 in ids
+        assert member_group[j] == member_group[j - 1_000_000]
+    for gid, members in by_group.items():
+        keepers = [m for m in members if m.is_keep]
+        assert len(keepers) == 1, f"group {gid}: {len(keepers)} keepers"
+        expect = min(members, key=lambda m: (m.cent_score, m.vec_id))
+        assert keepers[0].vec_id == expect.vec_id
+        # groups are within-cell by construction (pairs block on cell)
+        assert len({m.cell_id for m in members}) == 1
+        # group label is the min member id (cc canonical representative)
+        assert gid == min(m.vec_id for m in members)
