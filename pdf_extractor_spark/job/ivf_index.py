@@ -87,18 +87,14 @@ def _centroids_dir(index_dir: str) -> str:
     return os.path.join(_gen_root(index_dir), "centroids")
 
 
-def _schema_path(index_dir: str) -> str:
-    return os.path.join(_gen_root(index_dir), "_CELLS_SCHEMA.json")
-
-
-def _cells_reader(spark: SparkSession, index_dir: str):
-    """Reader for the cell layout with the PERSISTED schema: a zero-row
-    corpus writes only ``_SUCCESS`` under cells/, and a schema-inferring
-    read of that raises UNABLE_TO_INFER_SCHEMA — an empty index must
-    return empty search results, not abort (same totality rule as
-    sink.batch_input)."""
+def _cells_reader_at(spark: SparkSession, root: str):
+    """Reader for a generation root's cell layout with the PERSISTED
+    schema: a zero-row corpus writes only ``_SUCCESS`` under cells/, and
+    a schema-inferring read of that raises UNABLE_TO_INFER_SCHEMA — an
+    empty index must return empty search results, not abort (same
+    totality rule as sink.batch_input)."""
     reader = spark.read
-    path = _schema_path(index_dir)
+    path = os.path.join(root, "_CELLS_SCHEMA.json")
     if os.path.exists(path):
         with open(path) as f:
             reader = reader.schema(StructType.fromJson(json.load(f)))
@@ -175,7 +171,11 @@ def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> int:
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> list[list[float]]:
-    rows = spark.read.parquet(_centroids_dir(index_dir)).collect()
+    return _load_centroids_at(spark, _gen_root(index_dir))
+
+
+def _load_centroids_at(spark: SparkSession, root: str) -> list[list[float]]:
+    rows = spark.read.parquet(os.path.join(root, "centroids")).collect()
     return [
         [float(x) for x in r.centroid]
         for r in sorted(rows, key=lambda r: r.cell_id)
@@ -240,7 +240,16 @@ def search(
     Pass ``True`` only when the queries ARE corpus rows (the ann_ivf
     query's convention, where self is a degenerate score-1.0 match).
     """
-    cents = load_centroids(spark, index_dir)
+    # Resolve the committed generation ONCE and read centroids, schema,
+    # and cells from that pinned root: re-resolving _GEN per artifact
+    # would let a concurrent build_index commit between the reads and
+    # pair gen-N centroids with gen-N+1 cells — probe cells computed
+    # from the old fit filtering the new fit's partitions silently loses
+    # neighbors.  With the pinned root, a rebuild that sweeps it mid-
+    # search fails LOUDLY (missing path, retryable) — the documented
+    # "may fail, never silently wrong" contract.
+    root = _gen_root(index_dir)
+    cents = _load_centroids_at(spark, root)
     if not cents:
         # empty index (zero-row build): no cells to probe — empty result
         # with the search schema, not an analysis error
@@ -262,8 +271,8 @@ def search(
     probe_cells = sorted(
         r.cell_id for r in probes.select("cell_id").distinct().collect()
     )
-    cells = _cells_reader(spark, index_dir) \
-        .parquet(_cells_dir(index_dir)).filter(
+    cells = _cells_reader_at(spark, root) \
+        .parquet(os.path.join(root, "cells")).filter(
             F.col("cell_id").isin(probe_cells)
         ).select(
             "cell_id",

@@ -190,3 +190,31 @@ def test_add_vectors_on_empty_index_fails_clearly(spark, tmp_path):
         .select("vec_id", "embedding")
     with pytest.raises(ValueError, match="no fitted centroids"):
         add_vectors(spark, idx, vecs)
+
+
+def test_search_pins_one_generation(spark, tmp_path, monkeypatch):
+    """search() must resolve the committed _GEN pointer exactly ONCE and
+    read centroids, schema, and cells from that pinned root — resolving
+    per-artifact would let a concurrent build_index commit between the
+    reads and pair gen-N centroids with gen-N+1 cells (probe cells from
+    the old fit filtering the new fit's partitions: silently lost
+    neighbors).  Pin the mechanism: one _gen_root resolution per search."""
+    from pdf_extractor_spark.job import ivf_index as mod
+
+    idx = str(tmp_path / "ivf")
+    build_index(spark, SF_DIR, idx)
+
+    calls = []
+    real = mod._gen_root
+
+    def counting(index_dir):
+        calls.append(index_dir)
+        return real(index_dir)
+
+    monkeypatch.setattr(mod, "_gen_root", counting)
+    got = search(spark, idx, _queries_df(spark), exclude_self=True)
+    assert _rows(got) == _rows(_ann_ivf(spark, SF_DIR))
+    assert len(calls) == 1, (
+        f"search resolved _GEN {len(calls)} times; a rebuild committing "
+        "between resolutions would mix generations"
+    )
