@@ -52,6 +52,41 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def free_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint's storage NOW, not at the next GC.
+
+    ``Dataset.unpersist()`` only clears CacheManager entries created by
+    ``persist()`` — a checkpoint's blocks hang off the materialized RDD
+    and otherwise live until the ContextCleaner collects the reference.
+    A checkpointed frame's analyzed plan is exactly a LogicalRDD wrapping
+    that RDD, so unpersist it there (verified: getPersistentRDDs drops to
+    zero).  Best-effort: on any interface drift the blocks fall back to
+    ContextCleaner GC, which is correctness-neutral."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def evict_stale_session_entries(cache: dict, spark: SparkSession) -> None:
+    """Drop cache entries keyed by a (applicationId, …) tuple whose
+    application is no longer the live SparkContext.
+
+    The query modules memoize checkpointed frames / fitted literals per
+    (applicationId, sf_dir).  Without eviction, a long-lived process that
+    stops and restarts sessions accumulates stale DataFrame handles
+    forever, and each live entry pins its localCheckpoint's RDD blocks
+    for the application lifetime.  Call this at every cache access: one
+    dict sweep, frees checkpoints of dead-app entries best-effort (their
+    blocks died with the app; the unpersist is a no-op that clears the
+    JVM handle)."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in cache if k[0] != app]:
+        val = cache.pop(key)
+        if isinstance(val, DataFrame):
+            free_checkpoint(val)
+
+
 def sql_escape(s: str) -> str:
     return s.replace("'", "''")
 

@@ -39,7 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
+from pdf_extractor_spark.queries.base import (
+    Q,
+    evict_stale_session_entries,
+    free_checkpoint,
+    load,
+    rhu,
+    rhu_sql,
+)
 
 _N_MINHASH = 8      # K signatures
 _BAND_ROWS = 2      # rows per LSH band → 4 bands
@@ -111,6 +118,7 @@ _FP_CACHE: dict = {}
 
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evict_stale_session_entries(_FP_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FP_CACHE:
         fp = _corpus(spark, sf_dir).select(
@@ -298,6 +306,7 @@ _PAIR_CACHE: dict = {}
 
 
 def _minhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evict_stale_session_entries(_PAIR_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_CACHE:
         _PAIR_CACHE[key] = _minhash_pairs(
@@ -552,21 +561,14 @@ FROM sh
 
 _CC_MAX_ITERS = 64
 
+# rounds the most recent cc_labels call used (incl. the confirmation
+# round) — observability for tests and BENCH.md, not part of the contract
+last_cc_rounds = 0
 
-def _free_checkpoint(df: DataFrame) -> None:
-    """Release a localCheckpoint's storage NOW, not at the next GC.
 
-    ``Dataset.unpersist()`` only clears CacheManager entries created by
-    ``persist()`` — a checkpoint's blocks hang off the materialized RDD
-    and otherwise live until the ContextCleaner collects the reference.
-    A checkpointed frame's analyzed plan is exactly a LogicalRDD wrapping
-    that RDD, so unpersist it there (verified: getPersistentRDDs drops to
-    zero).  Best-effort: on any interface drift the blocks fall back to
-    ContextCleaner GC, which is correctness-neutral."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# localCheckpoint release lives in base.free_checkpoint (shared with the
+# session caches); the historical module-local name is kept for callers.
+_free_checkpoint = free_checkpoint
 
 
 def cc_labels(edges: DataFrame) -> DataFrame:
@@ -579,19 +581,27 @@ def cc_labels(edges: DataFrame) -> DataFrame:
     transitive-closure step every production dedup pipeline runs after
     candidate generation.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels, run to
-    fixpoint (the fixpoint is unique: min reachable id, so iteration
-    order/count cannot change the answer).  Each round is one shuffle
-    join + partial/final min-agg; the driver-side action per round reads
-    ONE count (convergence check), never row data.  Rounds needed =
-    graph diameter; near-dup clusters are stars/short chains (diameter
-    ≤ ~4), so at 100 TB this is a handful of shuffles over the EDGE set
-    (tiny vs the corpus — only docs that collided in a band appear).
-    For adversarial long-chain graphs the log-round variant
-    (large-star/small-star, Kiveris et al.) drops in here without
-    changing the contract; the fixture tests pin a 20-node chain to
-    document the worst case this implementation tolerates.
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node first takes the min of its own label and its neighbors'
+    labels (one edge join + partial/final min-agg), then shortcuts
+    through its own label (``l(u) ← min(l(u), l(l(u)))``, one keyed
+    self-join of the label table).  A label is always the id of a node
+    reachable from its owner (neighbor-min adds distance 1; the jump
+    composes two reachable hops), labels are monotone non-increasing
+    and bounded below by the component min, and at the fixpoint the
+    neighbor-min condition forces equality across every edge — so the
+    fixpoint is exactly label = min reachable id, the same contract as
+    plain propagation, which the recursive-CTE oracle and the chain /
+    star fixtures pin.  The jump is what makes the round count
+    O(log diameter) instead of O(diameter): the distance a label has
+    travelled roughly triples per round (neighbor hop + doubling), so an
+    adversarial 1000-link near-dup chain (incremental-edit chains DO
+    occur in real corpora) costs ~8 rounds, not 1000 sequential
+    shuffles.  Star-shaped clusters (the common case) still converge in
+    1 round + 1 confirmation.  The driver-side action per round reads
+    ONE count (convergence check), never row data, and every round
+    shuffles only the EDGE set (tiny vs the corpus — only docs that
+    collided in a band appear).
     """
     fwd = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     sym = fwd.unionByName(
@@ -602,41 +612,70 @@ def cc_labels(edges: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    global last_cc_rounds
     prev_ck = labels  # the checkpointed frame each round's labels derive from
-    for _ in range(_CC_MAX_ITERS):
-        neigh = (
-            sym.join(labels, sym["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        upd = (
-            labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
-            .select(
-                labels["doc_id"],
-                labels["label"],
-                F.least(
-                    labels["label"], F.coalesce("nmin", labels["label"])
-                ).alias("new_label"),
+    try:
+        for rounds in range(1, _CC_MAX_ITERS + 1):
+            neigh = (
+                sym.join(labels, sym["v"] == labels["doc_id"])
+                .groupBy("u")
+                .agg(F.min("label").alias("nmin"))
             )
+            half = (
+                labels.join(neigh, labels["doc_id"] == neigh["u"], "left")
+                .select(
+                    labels["doc_id"],
+                    labels["label"],
+                    F.least(
+                        labels["label"], F.coalesce("nmin", labels["label"])
+                    ).alias("half_label"),
+                )
+            )
+            # pointer jump: l(u) ← min(l(u), l(l(u))).  half_label is a
+            # node id (some reachable node), so it has a row in half —
+            # the left join + coalesce only covers the self-label case.
+            jump = half.select(
+                F.col("doc_id").alias("j_id"),
+                F.col("half_label").alias("j_label"),
+            )
+            upd = (
+                half.join(jump, half["half_label"] == jump["j_id"], "left")
+                .select(
+                    half["doc_id"],
+                    half["label"],
+                    F.least(
+                        half["half_label"],
+                        F.coalesce("j_label", half["half_label"]),
+                    ).alias("new_label"),
+                )
+            )
+            # checkpoint the JOINED frame, then derive both the new labels
+            # and the convergence count from it — counting on the
+            # un-checkpointed plan would re-run the round's joins+agg a
+            # second time per round
+            upd = upd.localCheckpoint(eager=True)
+            n_changed = (
+                upd.filter(F.col("new_label") != F.col("label")).count()
+            )
+            _free_checkpoint(prev_ck)
+            prev_ck = upd
+            labels = upd.select("doc_id", F.col("new_label").alias("label"))
+            if n_changed == 0:
+                # sym is no longer needed once converged; the final round's
+                # checkpoint (labels' parent) stays live for the caller
+                last_cc_rounds = rounds
+                _free_checkpoint(sym)
+                return labels
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} "
+            "rounds"
         )
-        # checkpoint the JOINED frame, then derive both the new labels and
-        # the convergence count from it — counting on the un-checkpointed
-        # plan would re-run the round's join+agg a second time per round
-        upd = upd.localCheckpoint(eager=True)
-        n_changed = (
-            upd.filter(F.col("new_label") != F.col("label")).count()
-        )
+    except Exception:
+        # error path (incl. the non-convergence guard): release the live
+        # checkpoints instead of leaking them for the application lifetime
+        _free_checkpoint(sym)
         _free_checkpoint(prev_ck)
-        prev_ck = upd
-        labels = upd.select("doc_id", F.col("new_label").alias("label"))
-        if n_changed == 0:
-            # sym is no longer needed once converged; the final round's
-            # checkpoint (labels' parent) stays live for the caller
-            _free_checkpoint(sym)
-            return labels
-    raise RuntimeError(
-        f"connected components did not converge in {_CC_MAX_ITERS} rounds"
-    )
+        raise
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core.normalize import UNICODE_TO_LATEX
-from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql, sql_escape
+from pdf_extractor_spark.queries.base import (
+    Q,
+    evict_stale_session_entries,
+    load,
+    rhu,
+    rhu_sql,
+    sql_escape,
+)
 
 # deterministic unicode-math suffix appended to every doc so the sanitize
 # chain has real work at any scale
@@ -378,6 +385,7 @@ def _bin_thresholds(spark: SparkSession, sf_dir: str) -> list[float]:
     SAMPLE (1-based rank ``ceil(p·n)`` of the ascending scores).  The
     oracle SQL re-derives the same sample and ranks independently, so
     the fit spec itself is hash-gated."""
+    evict_stale_session_entries(_BIN_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BIN_CACHE:
         import math

@@ -128,11 +128,20 @@ def read_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
     base = os.path.join(out_dir, "decisions")
     # a stream that processed zero batches never created decisions/ —
     # an empty stream must read as zero decisions, not PATH_NOT_FOUND
-    # (same totality rule as the empty IVF index and sink.batch_input)
+    # (same totality rule as the empty IVF index and sink.batch_input).
+    # The empty frame must carry the SAME schema as the non-empty read,
+    # including the ``batch`` partition column (partition discovery
+    # infers int; both branches pin bigint so a caller referencing
+    # ``batch`` behaves identically on an empty stream).
+    cols = ("doc_id", "verdict", "matched", "batch")
     if not glob.glob(os.path.join(base, "batch=*")):
         return spark.createDataFrame(
-            [], "doc_id bigint, verdict string, matched bigint"
+            [], "doc_id bigint, verdict string, matched bigint, batch bigint"
         )
-    return spark.read.option("basePath", base).parquet(
+    df = spark.read.option("basePath", base).parquet(
         os.path.join(base, "batch=*")
+    )
+    return df.select(
+        *(F.col(c).cast("bigint") if c == "batch" else F.col(c)
+          for c in cols)
     )

@@ -74,18 +74,36 @@ def test_cc_labels_hand_graph(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_cc_labels_long_chain_converges(spark):
-    """Worst-case diameter: a 20-node path needs ~19 propagation rounds —
-    pins that the iteration cap tolerates adversarial chain graphs and
-    that transitivity holds end-to-end (node 19 reaches root 0)."""
+def test_cc_labels_long_chain_converges_in_log_rounds(spark):
+    """Worst-case diameter: a 20-node path needs 19 rounds under plain
+    propagation — the pointer-jump step must cover it in O(log d) rounds
+    while still reaching the min-reachable fixpoint end-to-end (node 19
+    reaches root 0)."""
+    import pdf_extractor_spark.queries.dedup as dmod
+
     n = 20
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
     )
-    from pdf_extractor_spark.queries.dedup import cc_labels
-
-    got = {r.doc_id: r.label for r in cc_labels(edges).collect()}
+    got = {r.doc_id: r.label for r in dmod.cc_labels(edges).collect()}
     assert got == {i: 0 for i in range(n)}
+    assert dmod.last_cc_rounds <= 6, (
+        f"pointer jumping should close a 19-edge chain in ~4 rounds "
+        f"(+1 confirmation), used {dmod.last_cc_rounds}"
+    )
+
+
+def test_cc_labels_star_still_two_rounds(spark):
+    """The common near-dup shape (a star) must not regress: one round to
+    converge plus one confirmation round."""
+    import pdf_extractor_spark.queries.dedup as dmod
+
+    edges = spark.createDataFrame(
+        [(5, i) for i in range(6, 30)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.label for r in dmod.cc_labels(edges).collect()}
+    assert got == {i: 5 for i in range(5, 30)}
+    assert dmod.last_cc_rounds <= 2
 
 
 def test_cc_labels_empty_edges(spark):
@@ -260,3 +278,15 @@ def test_dup_passages_hand_corpus(spark, tmp_path):
     assert abs(got[36][2] - 0.3333) < 5e-5
     # 58: unique → 0 duplicated
     assert got[58] == (3, 0, 0.0)
+
+
+def test_evict_stale_session_entries(spark):
+    """Cache entries keyed by a stopped application's id must be dropped
+    at access time (the module caches otherwise accumulate stale frame
+    handles and pinned checkpoints across session restarts)."""
+    from pdf_extractor_spark.queries.base import evict_stale_session_entries
+
+    app = spark.sparkContext.applicationId
+    cache = {("app-from-a-stopped-session", "sf"): object(), (app, "sf"): 2}
+    evict_stale_session_entries(cache, spark)
+    assert cache == {(app, "sf"): 2}

@@ -116,4 +116,19 @@ def test_read_decisions_total_on_zero_batches(spark, tmp_path):
 
     got = read_decisions(spark, str(tmp_path / "never-ran"))
     assert got.count() == 0
-    assert set(got.columns) == {"doc_id", "verdict", "matched"}
+    assert set(got.columns) == {"doc_id", "verdict", "matched", "batch"}
+
+
+def test_read_decisions_schema_agrees_empty_vs_nonempty(spark, env):
+    """The empty-stream frame and the partition-discovered read must
+    expose the SAME columns and types — a caller referencing the
+    ``batch`` partition column must not break only on an empty stream."""
+    from pdf_extractor_spark.streaming.dedup_stream import read_decisions
+
+    empty = read_decisions(spark, env["out"] + "-never")
+    _arrive(spark, env["input"], [(10, T_STORE)])
+    _run(spark, env)
+    nonempty = read_decisions(spark, env["out"])
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == \
+        [(f.name, f.dataType) for f in nonempty.schema.fields]
+    assert {r.batch for r in nonempty.collect()} == {0}
