@@ -73,13 +73,29 @@ def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     timings: dict[str, float] = {}
 
+    # the registry entries for the sf0.01-pinned-oracle queries ignore
+    # sf_dir by design (they self-pin to their oracle input); the bench
+    # must keep measuring the REAL $SPARK_GRAFT_SF_DIR, so it drives the
+    # sf-honoring impls directly for those names
+    from pdf_extractor_spark.queries.similarity import (
+        _ann_ivf,
+        _dedup_embedding_cosine,
+        _dedup_semantic,
+    )
+
+    impl_overrides = {
+        "ann_ivf": _ann_ivf,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_semantic": _dedup_semantic,
+    }
+
     # untimed session warm-up (codegen, scan readers, broadcast machinery):
     # steady-state per-query walls, not first-query JVM init
     QUERIES[HEADLINE[0]](spark, SF_DIR).write.mode("overwrite") \
         .format("noop").save()
 
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = impl_overrides.get(name) or QUERIES[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         # force full materialization of every column (count() would let

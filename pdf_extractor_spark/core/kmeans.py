@@ -12,6 +12,21 @@ gates red instead of self-certifying.
 
 THE SPEC (every step is part of the cross-implementation contract):
 
+0. SIZE — k = max(16, ceil(n / 128)) where n is the corpus row count,
+   and n_sample = 16·k.  The cell count GROWS with the corpus at a fixed
+   ~128-vector target cell size, so the within-cell work of every
+   consumer (the near-dup pair join, a probe's candidate scan) stays
+   bounded as the corpus grows — a pinned k would make each cell hold
+   n/k vectors and the pair join go O(n²/k) (VERDICT r3's one remaining
+   scale-killer).  The floor keeps small corpora on the historical
+   k=16 / n_sample=256 fit (every sf≤0.1 test input is under the
+   16·128 = 2048-row knee, so the pinned oracles are unchanged).
+   The count is the only corpus statistic the fit consumes; a parquet
+   count() is metadata-only and exact.  Driver fit cost is
+   O(n_sample·k·dim·iters) = O(k²) — fine through k ≈ 1024; beyond
+   that a production deployment moves to a two-level coarse quantizer
+   (the job/ivf_index.py docstring's regime), which changes the fit
+   recipe, not this spec's determinism contract.
 1. SAMPLE — for each vector, key = md5(str(vec_id)).hexdigest(); keep the
    ``n_sample`` vectors with the smallest (key, vec_id).  Hash-ordered
    top-N is deterministic at any scale and any partitioning (unlike
@@ -41,8 +56,22 @@ from __future__ import annotations
 import hashlib
 import math
 
-N_FIT_SAMPLE = 256
+TARGET_CELL_SIZE = 128   # vectors per quantizer cell the K rule aims for
+K_FLOOR = 16             # small corpora keep the historical fixed-16 fit
+SAMPLE_PER_CELL = 16     # fit sample rows per centroid
+N_FIT_SAMPLE = K_FLOOR * SAMPLE_PER_CELL  # = 256 at the floor (historical)
 N_ITERS = 5
+
+
+def n_centroids(n_rows: int) -> int:
+    """Spec step 0: corpus-scaled cell count, floored at the historical
+    k=16 (``ceil`` via negative floor division — exact for ints)."""
+    return max(K_FLOOR, -(-int(n_rows) // TARGET_CELL_SIZE))
+
+
+def n_fit_sample(k: int) -> int:
+    """Spec step 0: fit-sample size scales with the cell count."""
+    return SAMPLE_PER_CELL * int(k)
 
 
 def sample_key(vec_id: int) -> str:

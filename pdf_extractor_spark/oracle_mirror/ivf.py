@@ -27,9 +27,21 @@ from functools import lru_cache
 
 import pyarrow.parquet as pq
 
-MIRROR_N_SAMPLE = 256
 MIRROR_N_ITERS = 5
-MIRROR_K = 16
+# spec step 0 (restated independently): the cell count scales with the
+# corpus at a ~128-vector target cell size, floored at the historical 16,
+# and the fit sample is 16 rows per centroid
+MIRROR_TARGET_CELL = 128
+MIRROR_K_FLOOR = 16
+MIRROR_SAMPLE_PER_CELL = 16
+
+
+def mirror_k(n_rows: int) -> int:
+    return max(MIRROR_K_FLOOR, math.ceil(n_rows / MIRROR_TARGET_CELL))
+
+
+def mirror_n_sample(k: int) -> int:
+    return MIRROR_SAMPLE_PER_CELL * k
 
 
 def _mirror_cos(u, v) -> float:
@@ -43,9 +55,14 @@ def _mirror_cos(u, v) -> float:
     return uv / (math.sqrt(du) * math.sqrt(dv))
 
 
-def mirror_fit(ids_vecs, k: int = MIRROR_K, n_sample: int = MIRROR_N_SAMPLE,
+def mirror_fit(ids_vecs, k: int | None = None, n_sample: int | None = None,
                n_iters: int = MIRROR_N_ITERS):
-    """Independent restatement of the fit spec over (vec_id, vector) pairs."""
+    """Independent restatement of the fit spec over (vec_id, vector)
+    pairs.  ``k``/``n_sample`` default to the corpus-scaled spec rule."""
+    if k is None:
+        k = mirror_k(len(ids_vecs))
+    if n_sample is None:
+        n_sample = mirror_n_sample(k)
     hash_order = sorted(
         ids_vecs,
         key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]),

@@ -4,22 +4,27 @@
   against all vectors; dot/norm computed JVM-side with zip_with/aggregate
   (no Python in the hot path).  Scores are rounded to 4dp on BOTH sides
   before ranking so float summation order can't flip the hash.
-- ann_ivf    — the scale path: IVF with a FITTED coarse quantizer.  K=16
-  centroids come from a deterministic sampled k-means
-  (core/kmeans.py: hash-bounded sample → driver fit → broadcast — the
-  FAISS/MLlib recipe, so the quantizer tracks the data distribution
-  instead of freezing an arbitrary seed slice).  Every vector is assigned
-  to its nearest centroid (broadcast join — the 16-row centroid table is
-  tiny), queries probe their top-2 nearest centroid cells only, then
-  brute-force within the probed cells.  At 100 TB the fit reads a bounded
-  256-vector sample, the assignment is a narrow broadcast pass, and the
-  search join shuffles on cell_id, touching ~2/16 of the corpus per query
-  instead of all of it.  The oracle is a checked-in expected parquet from
-  the INDEPENDENT mirror fit+search (oracle_mirror/ivf.py +
-  scripts/gen_expected.py); tests/test_kmeans.py pins bit-equality of
-  the two fits, and tests/test_similarity.py holds recall ≥ 0.8 on a
-  shifted (clustered + outlier) distribution where a seed-slice quantizer
-  degrades.
+- ann_ivf    — the scale path: IVF with a FITTED coarse quantizer whose
+  cell count SCALES with the corpus: K = max(16, ceil(n/128)) from a
+  metadata-only count probe (fixed ~128-vector target cell size — the
+  SemDeDup/FAISS regime), fit by a deterministic sampled k-means over a
+  16·K-row hash-bounded sample (core/kmeans.py: sample → driver fit →
+  broadcast — the FAISS/MLlib recipe, so the quantizer tracks the data
+  distribution instead of freezing an arbitrary seed slice).  Every
+  vector is assigned to its nearest centroid (a narrow literal-matrix
+  argmax — no join, no shuffle), queries probe their top-2 nearest
+  centroid cells only, then brute-force within the probed cells.  At
+  100 TB the fit reads a bounded 16·K-row sample, the assignment is a
+  narrow pass, and the search join shuffles on cell_id, touching
+  ~n_probe·128 vectors per query instead of a fixed FRACTION of the
+  corpus (with pinned K, 2/16 of 100 TB is still 12.5 TB per query —
+  the round-3 scale-killer).  The oracle is a checked-in expected
+  parquet from the INDEPENDENT mirror fit+search (oracle_mirror/ivf.py
+  + scripts/gen_expected.py); tests/test_kmeans.py pins bit-equality of
+  the two fits (including the K rule), tests/test_similarity.py holds
+  recall ≥ 0.8 on a shifted (clustered + outlier) distribution where a
+  seed-slice quantizer degrades, and tests/test_adversarial.py pins
+  bounded per-cell candidate counts on a 10×-grown corpus.
 
 Oracle input pin: ann_ivf's expected parquet and the centroid literals
 inside the dedup_embedding_cosine oracle SQL are generated from
@@ -37,11 +42,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core import kmeans
-from pdf_extractor_spark.queries.base import Q, load, rhu, rhu_sql
+from pdf_extractor_spark.queries.base import (
+    Q,
+    evict_stale_session_entries,
+    load,
+    rhu,
+    rhu_sql,
+)
 
 _N_QUERIES = 5
 _TOP_K = 5
-_N_CENTROIDS = 16
 _N_PROBE = 2
 _PINNED_SF = "/root/testdata/sf0.01"
 
@@ -137,28 +147,35 @@ _FIT_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
 def _fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """K=16 coarse-quantizer centroids: hash-bounded sample pulled to the
-    driver, deterministic Lloyd fit (core/kmeans.py spec); consumed as
-    literal arrays by the narrow assignment expressions.  orderBy(
-    md5(id), id).limit(n) is a TakeOrdered — O(n) per partition and
-    collects exactly n rows at ANY corpus size, so the driver never holds
-    more than n_sample×dim floats."""
+    """Corpus-scaled coarse-quantizer centroids: K = max(16, ceil(n/128))
+    from a metadata-only count() probe, hash-bounded 16·K-row sample
+    pulled to the driver, deterministic Lloyd fit (core/kmeans.py spec
+    step 0); consumed as literal arrays by the narrow assignment
+    expressions.  Scaling K with the corpus (fixed ~128-vector target
+    cell size) is what keeps every consumer's within-cell work bounded
+    as the corpus grows; the floor keeps sf≤0.1 inputs on the historical
+    K=16/256-sample fit, so the pinned mirror oracles are unchanged.
+    ``orderBy(md5(id), id).limit(n)`` is a TakeOrdered — O(n) per
+    partition and collects exactly n rows at ANY corpus size, so the
+    driver never holds more than n_sample×dim floats."""
+    evict_stale_session_entries(_FIT_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FIT_CACHE:
         e = load(spark, sf_dir, "embeddings")
+        k = kmeans.n_centroids(e.count())
         sample = (
             e.select(
                 "vec_id", "embedding",
                 F.md5(F.col("vec_id").cast("string")).alias("hk"),
             )
             .orderBy("hk", "vec_id")
-            .limit(kmeans.N_FIT_SAMPLE)
+            .limit(kmeans.n_fit_sample(k))
             .collect()
         )
         # rows arrive hash-ordered (the fit spec's sample order)
         _FIT_CACHE[key] = kmeans.fit(
             [(r.vec_id, [float(x) for x in r.embedding]) for r in sample],
-            k=_N_CENTROIDS,
+            k=k,
         )
     return _FIT_CACHE[key]
 
@@ -167,19 +184,21 @@ def _cell_scores(emb_col, cents: list[list[float]]):
     """array<struct<score, neg_cell>> of rhu4 cosine against every fitted
     centroid, built entirely from LITERALS — the coarse-quantizer
     assignment as a NARROW per-row expression.  The previous shape
-    (crossJoin with a 16-row centroid table + row_number window) pushed
-    16× the corpus through a shuffle just to pick each row's argmax; at
+    (crossJoin with a K-row centroid table + row_number window) pushed
+    K× the corpus through a shuffle just to pick each row's argmax; at
     100 TB that is petabytes of exchange for a per-row computation.
     Centroid norms are precomputed with the identical left fold
     (core/kmeans._dot + math.sqrt), so scores match the DuckDB/mirror
-    oracles bit for bit."""
+    oracles bit for bit.  The literal matrix is K×dim doubles — fine
+    through K ≈ 1024 (~0.5 MB per task binary); past that a deployment
+    moves to the two-level quantizer regime (job/ivf_index.py)."""
     import math as _math
 
     v = _dvec(emb_col)
     nv = _norm(v)
     # ONE nested-array literal for the centroid matrix and one for the
     # norms (precomputed with the identical left fold): a per-centroid
-    # expansion (16 × 64 F.lit leaves + 16 fold subtrees) costs Catalyst
+    # expansion (K × dim F.lit leaves + K fold subtrees) costs Catalyst
     # seconds of analysis per query construction — as Literal nodes the
     # whole expression is a handful of tree nodes
     matrix = F.lit([[float(x) for x in c] for c in cents])
@@ -314,16 +333,19 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic near-dups so the operator has real work at every
     scale).  Blocking key is the FITTED coarse-quantizer cell (same
     sampled-k-means assignment as ``ann_ivf``), NOT a fixed-cardinality
-    attribute: cell count grows with the centroid set and the fit tracks
-    the data distribution, so per-block pair counts stay bounded as the
-    corpus grows — a label-style block would go quadratic at 100 TB, and
-    unfitted seed cells collapse under distribution shift
-    (tests/test_adversarial.py).  Cosine is scale-invariant, so a
-    jittered copy lands in the same cell as its source and is always a
-    candidate.  The oracle SQL blocks on the same cells via centroid
-    literals from the independent mirror fit (oracle_mirror/ivf.py, on
-    the pinned sf0.01 input); DuckDB evaluates assignment, cosine, and
-    threshold itself.
+    attribute: K = max(16, ceil(n/128)) scales with the corpus-size
+    probe (kmeans.n_centroids), so per-block pair counts genuinely stay
+    bounded (~128²/2 per cell) as the corpus grows — with a PINNED K
+    each cell holds n/K vectors and the within-cell self-join trends
+    O(n²/K), the round-3 scale-killer; a label-style block would go
+    quadratic outright, and unfitted seed cells collapse under
+    distribution shift (tests/test_adversarial.py pins both the shifted
+    distribution and the 10×-growth bound).  Cosine is scale-invariant,
+    so a jittered copy lands in the same cell as its source and is
+    always a candidate.  The oracle SQL blocks on the same cells via
+    centroid literals from the independent mirror fit
+    (oracle_mirror/ivf.py, on the pinned sf0.01 input); DuckDB evaluates
+    assignment, cosine, and threshold itself.
     """
     pairs = _near_dup_pairs_cached(spark, sf_dir)
     return pairs.select("id_a", "id_b", "score")
@@ -373,6 +395,7 @@ _NEAR_PAIR_CACHE: dict = {}
 
 
 def _near_dup_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evict_stale_session_entries(_NEAR_PAIR_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEAR_PAIR_CACHE:
         _NEAR_PAIR_CACHE[key] = _near_dup_pairs(
@@ -535,26 +558,39 @@ FROM members
 """
 
 
+def _self_pinned(fn):
+    """Registry wrapper for queries whose oracle content is generated
+    from the PINNED sf0.01 input (mirror-fit centroid literals, expected
+    parquet): the query reads the pin ITSELF instead of trusting the
+    harness dir to hold that exact dataset — at any other sf the two
+    sides would block on different quantizers and agree only by
+    coincidence, and a content drift of the harness's sf0.01 dir would
+    turn the gate red confusingly (round-3 ADVICE).  The sf-honoring
+    impls (``_ann_ivf`` etc.) stay importable for bench.py and the
+    index/job layer, which measure real scale dirs."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(spark, _PINNED_SF)
+    return wrapped
+
+
 QUERIES: list[Q] = [
     # sf_pin: the oracle SQL embeds centroid literals from the mirror fit
-    # on the PINNED sf0.01 input, so the Spark side must fit on the same
-    # input — at any other sf the two sides would block on different
-    # quantizers and agree only by coincidence (pairs that co-cell under
-    # both fits).  The driver compares at sf0.01, where pin and harness
-    # dir coincide; the rehearsal honors the pin for BOTH the Spark input
-    # and the oracle's DuckDB views.
-    Q("dedup_embedding_cosine", _dedup_embedding_cosine, _dedup_cosine_sql,
+    # on the PINNED sf0.01 input, so the Spark side reads the pin itself
+    # (_self_pinned); Q.sf_pin additionally tells the rehearsal to
+    # register the oracle's DuckDB views from the pin.
+    Q("dedup_embedding_cosine", _self_pinned(_dedup_embedding_cosine),
+      _dedup_cosine_sql,
       "embedding-cosine near-dup pairs, blocked by fitted IVF "
       "coarse-quantizer cell (pinned sf0.01 quantizer oracle)",
       sf_pin=_PINNED_SF),
-    Q("dedup_semantic", _dedup_semantic, _dedup_semantic_sql,
+    Q("dedup_semantic", _self_pinned(_dedup_semantic), _dedup_semantic_sql,
       "SemDeDup-style survivor selection: connected components over "
       "cell-blocked cosine near-dup pairs, keep the member farthest "
       "from its assigned centroid (pinned sf0.01 quantizer oracle)",
       sf_pin=_PINNED_SF),
     Q("cosine_topk", _cosine_topk, _COSINE_SQL,
       "brute-force cosine top-k (exact baseline)"),
-    Q("ann_ivf", _ann_ivf,
+    Q("ann_ivf", _self_pinned(_ann_ivf),
       "SELECT * FROM read_parquet('/root/repo/expected/ann_ivf.parquet')",
       "IVF ANN with fitted sampled-k-means quantizer (scale path); oracle "
       "is a checked-in independent sequential mirror at the pinned sf0.01",

