@@ -49,7 +49,9 @@ from pdf_extractor_spark.job.upsert import (
 )
 from pdf_extractor_spark.queries.dedup import band_rows
 
-N_STORE_BUCKETS = 16
+N_STORE_BUCKETS = 16           # default bucket count for NEW stores
+TARGET_FILE_BYTES = 256 << 20  # compaction's per-file size target
+
 
 _FP_SCHEMA = "doc_id BIGINT, fingerprint STRING"
 _BANDS_SCHEMA = "doc_id BIGINT, band_no INT, band_hash STRING"
@@ -101,14 +103,33 @@ def _fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_meta(store_dir: str) -> None:
+def _write_meta(store_dir: str, n_buckets: int) -> None:
     os.makedirs(store_dir, exist_ok=True)
     with open(os.path.join(store_dir, "_N_BUCKETS"), "w") as f:
-        f.write(f"{N_STORE_BUCKETS}\n")
+        f.write(f"{n_buckets}\n")
 
 
-def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
+def _n_buckets(store_dir: str) -> int:
+    """The bucket count this store's files were WRITTEN with — a store
+    CREATION property persisted in ``_N_BUCKETS`` (like ``_GEN``), read
+    by every writer/reader so the physical layout and the catalog DDL
+    can never disagree.  Falls back to the module default for a legacy
+    store created before the marker existed."""
+    path = os.path.join(store_dir, "_N_BUCKETS")
+    if not os.path.exists(path):
+        return N_STORE_BUCKETS
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def create_store(store_dir: str, name: str, docs: DataFrame,
+                 n_buckets: int = N_STORE_BUCKETS) -> None:
     """Create the store from an initial corpus (may be empty).
+
+    ``n_buckets`` is a store-CREATION parameter, persisted in
+    ``_N_BUCKETS`` and honored by every later writer/reader — size it to
+    the expected store volume (the bucket count caps both compaction's
+    write parallelism and the minimum file count a scan must open).
 
     Marker order is the creation commit protocol: data dirs first, then
     ``_GEN``, then ``_N_BUCKETS`` LAST — callers (cmd_curate) treat
@@ -118,7 +139,7 @@ def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
     fp = _fingerprints(docs)
     (
         fp.write.format("parquet").mode("overwrite")
-        .bucketBy(N_STORE_BUCKETS, "fingerprint")
+        .bucketBy(n_buckets, "fingerprint")
         .sortBy("fingerprint")
         .option("path", os.path.join(store_dir, fp_dir))
         .saveAsTable(_fp_table(name))
@@ -132,34 +153,26 @@ def create_store(store_dir: str, name: str, docs: DataFrame) -> None:
     ).join(reps, "doc_id", "semi")
     (
         band_rows(rep_docs).write.format("parquet").mode("overwrite")
-        .bucketBy(N_STORE_BUCKETS, "band_hash")
+        .bucketBy(n_buckets, "band_hash")
         .sortBy("band_hash")
         .option("path", os.path.join(store_dir, bands_dir))
         .saveAsTable(_bands_table(name))
     )
     _commit_generation(store_dir, 0)
-    _write_meta(store_dir)
+    _write_meta(store_dir, n_buckets)
 
 
 def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
     """Re-register the store's tables from their files after a restart —
     the bucketed files are the store; the catalog entry is metadata.
 
-    The bucket count the files were WRITTEN with is persisted and
-    validated first: bucket ids are baked into file names, so
-    re-registering 16-bucket files as a 32-bucket table would make the
-    bucketed join probe the wrong partition and silently report real
-    duplicates as clean (the same silent-mismatch class the resumable
-    sink's _N_BUCKETS marker guards against)."""
-    meta_path = os.path.join(store_dir, "_N_BUCKETS")
-    with open(meta_path) as f:
-        stored = int(f.read().strip())
-    if stored != N_STORE_BUCKETS:
-        raise ValueError(
-            f"store at {store_dir} was written with {stored} buckets, "
-            f"this build expects {N_STORE_BUCKETS}; rebuild the store or "
-            "run a matching build"
-        )
+    The bucket count the files were WRITTEN with is persisted
+    (``_N_BUCKETS``) and drives the DDL: bucket ids are baked into file
+    names, so re-registering 16-bucket files as a 32-bucket table would
+    make the bucketed join probe the wrong partition and silently report
+    real duplicates as clean — registering with the store's own persisted
+    count makes that mismatch unconstructible."""
+    stored = _n_buckets(store_dir)
     fp_dir, bands_dir = _subdirs(store_dir)
     for table, schema, sub, key in (
         (_fp_table(name), _FP_SCHEMA, fp_dir, "fingerprint"),
@@ -168,7 +181,7 @@ def open_store(spark: SparkSession, store_dir: str, name: str) -> None:
         ddl = (
             f"CREATE TABLE IF NOT EXISTS {table} ({schema}) "
             f"USING PARQUET CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {N_STORE_BUCKETS} BUCKETS "
+            f"INTO {stored} BUCKETS "
             f"LOCATION '{os.path.join(store_dir, sub)}'"
         )
         spark.sql(ddl)
@@ -210,27 +223,46 @@ def _table_location(spark: SparkSession, table: str) -> str | None:
     return None
 
 
-def compact_store(spark: SparkSession, store_dir: str, name: str) -> int:
-    """Rewrite both tables into a fresh generation — one file per bucket.
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fname))
+            except OSError:
+                pass
+    return total
+
+
+def compact_store(spark: SparkSession, store_dir: str, name: str,
+                  target_file_bytes: int = TARGET_FILE_BYTES) -> int:
+    """Rewrite both tables into a fresh generation of SIZE-BOUNDED files.
 
     ``add_batch`` appends one file per touched bucket per batch, so a
     store ingesting B batches accumulates O(B × buckets) files; the
     bucketed-join invariant survives, but every future scan pays
     file-open overhead proportional to the store's entire ingest
     HISTORY, not its size.  Compaction reads each table once and
-    repartitions on the bucket key into exactly ``N_STORE_BUCKETS``
-    partitions — Spark's repartition hash (pmod(murmur3, n)) IS the
-    bucket-id formula, so each task holds exactly one bucket and the
-    bucketed write lands exactly one file per bucket.  The new files go
-    to generation ``g+1`` dirs; commit is an atomic swap of the ``_GEN``
-    pointer (the upsert snapshot discipline), re-registers the catalog
-    entries, and deletes the old generation.  A crash before the swap
-    leaves the live store untouched (the new dirs are uncommitted
-    garbage, cleared by the next compact); a crash after the swap is
-    healed by ``open_store``, which re-points intra-store stale catalog
-    entries at the committed generation, and any generation dirs a
-    post-commit crash left behind are swept by the NEXT compact.
-    Returns the new generation.
+    repartitions on the bucket key into ``n_buckets × m`` partitions,
+    where ``m = ceil(table_bytes / (n_buckets · target_file_bytes))`` —
+    Spark's repartition hash (pmod(murmur3, n·m)) REFINES the bucket-id
+    formula (pmod(murmur3, n)): every row in repartition-partition ``p``
+    has bucket id ``p mod n``, so each task still holds keys of exactly
+    ONE bucket and the bucketed write lands exactly one file per task =
+    ``m`` files per bucket, each ~``target_file_bytes``.  One file per
+    bucket (the round-3 shape) meant a multi-TB store compacted into
+    16 multi-TB files with a 16-way read cap; the size bound keeps file
+    granularity — and thus scan/AQE parallelism — proportional to store
+    SIZE while the bucket count stays the creation-time constant the
+    join layout requires.  The new files go to generation ``g+1`` dirs;
+    commit is an atomic swap of the ``_GEN`` pointer (the upsert
+    snapshot discipline), re-registers the catalog entries, and deletes
+    the old generation.  A crash before the swap leaves the live store
+    untouched (the new dirs are uncommitted garbage, cleared by the next
+    compact); a crash after the swap is healed by ``open_store``, which
+    re-points intra-store stale catalog entries at the committed
+    generation, and any generation dirs a post-commit crash left behind
+    are swept by the NEXT compact.  Returns the new generation.
 
     Holds the store commit lock for the whole read→write→swap→sweep
     span: a concurrent ``add_batch`` would otherwise append its
@@ -244,6 +276,7 @@ def compact_store(spark: SparkSession, store_dir: str, name: str) -> int:
         old_fp, old_bands = _subdirs(store_dir)
         old_gen = _generation(store_dir)
         new_gen = 0 if old_gen is None else old_gen + 1
+        n_buckets = _n_buckets(store_dir)
         specs = (
             (_fp_table(name), _FP_SCHEMA, old_fp, f"fp-g{new_gen}",
              "fingerprint"),
@@ -264,13 +297,17 @@ def compact_store(spark: SparkSession, store_dir: str, name: str) -> int:
             # A plain path read has no claimed partitioning, so the
             # repartition stands and each task holds exactly its one
             # bucket.  Explicit schema keeps an empty store compactable.
-            src = spark.read.schema(schema).parquet(
-                os.path.join(store_dir, old_sub)
+            src_dir = os.path.join(store_dir, old_sub)
+            src = spark.read.schema(schema).parquet(src_dir)
+            # m output files per bucket, sized to the source bytes (the
+            # compacted files are ~the same bytes re-encoded)
+            m = max(
+                1, -(-_dir_bytes(src_dir) // (n_buckets * target_file_bytes))
             )
             (
-                src.repartition(N_STORE_BUCKETS, F.col(key))
+                src.repartition(n_buckets * m, F.col(key))
                 .write.format("parquet").mode("overwrite")
-                .bucketBy(N_STORE_BUCKETS, key)
+                .bucketBy(n_buckets, key)
                 .sortBy(key)
                 .option("path", target)
                 .saveAsTable(tmp_table)
@@ -390,9 +427,10 @@ def add_batch(spark: SparkSession, name: str, batch: DataFrame) -> None:
     append can never interleave with a compaction (see compact_store —
     an append into the generation being superseded would be deleted by
     the sweep)."""
-    lock = _acquire_lock(_store_dir_of(spark, name))
+    store_dir = _store_dir_of(spark, name)
+    lock = _acquire_lock(store_dir)
     try:
-        _add_batch_locked(spark, name, batch)
+        _add_batch_locked(spark, name, batch, _n_buckets(store_dir))
     finally:
         _release_lock(*lock)
 
@@ -409,7 +447,7 @@ def _store_dir_of(spark: SparkSession, name: str) -> str:
 
 
 def _add_batch_locked(spark: SparkSession, name: str,
-                      batch: DataFrame) -> None:
+                      batch: DataFrame, n_buckets: int) -> None:
     fp = _fingerprints(batch)
     store_fp = spark.table(_fp_table(name))
     new_fp = fp.join(store_fp, "fingerprint", "anti")
@@ -435,13 +473,13 @@ def _add_batch_locked(spark: SparkSession, name: str,
     # check_batch's distinct() absorbs — benign, vs. silent blindness.
     (
         new_bands.write.format("parquet").mode("append")
-        .bucketBy(N_STORE_BUCKETS, "band_hash")
+        .bucketBy(n_buckets, "band_hash")
         .sortBy("band_hash")
         .saveAsTable(_bands_table(name))
     )
     (
         new_fp.write.format("parquet").mode("append")
-        .bucketBy(N_STORE_BUCKETS, "fingerprint")
+        .bucketBy(n_buckets, "fingerprint")
         .sortBy("fingerprint")
         .saveAsTable(_fp_table(name))
     )

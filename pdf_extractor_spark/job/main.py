@@ -126,6 +126,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         create_store(
             args.store, args.store_name,
             spark.createDataFrame([], "doc_id bigint, text string"),
+            n_buckets=args.store_buckets,
         )
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     summary = curate(
@@ -143,7 +144,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
 def cmd_compact_store(args: argparse.Namespace) -> int:
     """Offline store maintenance: collapse the append-per-batch file
-    growth back to one file per bucket (generation-swap commit)."""
+    growth to size-bounded files per bucket (generation-swap commit)."""
     spark = _spark(args.cores)
     from pdf_extractor_spark.job.dedup_store import (
         compact_store,
@@ -151,7 +152,8 @@ def cmd_compact_store(args: argparse.Namespace) -> int:
     )
 
     open_store(spark, args.store, args.store_name)
-    gen = compact_store(spark, args.store, args.store_name)
+    gen = compact_store(spark, args.store, args.store_name,
+                        target_file_bytes=args.target_file_mb << 20)
     print(f"compact-store: {args.store} now at generation {gen}")
     return 0
 
@@ -204,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc.add_argument("--input", required=True,
                     help="documents parquet path (doc_id, text)")
+    pc.add_argument("--store-buckets", type=int, default=16,
+                    help="bucket count when CREATING the store (a store "
+                         "creation property, persisted in _N_BUCKETS; "
+                         "ignored when the store already exists)")
     pc.add_argument("--store", required=True,
                     help="dedup store dir (created on first run)")
     pc.add_argument("--store-name", default="curate_store",
@@ -228,6 +234,8 @@ def main(argv: list[str] | None = None) -> int:
         help="rewrite the dedup store to one file per bucket",
     )
     pk.add_argument("--store", required=True)
+    pk.add_argument("--target-file-mb", type=int, default=256,
+                    help="compaction per-file size target")
     pk.add_argument("--store-name", default="curate_store")
     pk.set_defaults(fn=cmd_compact_store)
 

@@ -134,20 +134,46 @@ def test_null_text_is_matchable(spark, store):
     assert exact == {(401, 400), (402, 400)}
 
 
-def test_open_store_rejects_bucket_count_drift(spark, store, tmp_path,
-                                               monkeypatch):
-    """Bucket ids are baked into file names; re-registering 16-bucket
-    files under a different count would probe the wrong partition and
-    silently miss duplicates.  Must hard-fail instead."""
+def test_bucket_count_is_a_persisted_creation_property(spark, tmp_path):
+    """Bucket ids are baked into file names; the count the files were
+    written with is persisted at creation and drives every later
+    registration/append/compaction — a store created with a non-default
+    count must open, check, ingest, and compact correctly even though
+    the module default says 16."""
+    import os
+
     import pdf_extractor_spark.job.dedup_store as ds
 
-    spark.sql(f"DROP TABLE {store}_fp")
-    spark.sql(f"DROP TABLE {store}_bands")
-    monkeypatch.setattr(ds, "N_STORE_BUCKETS", 32)
-    with pytest.raises(ValueError, match="16 buckets"):
-        open_store(spark, str(tmp_path / "store"), store)
-    monkeypatch.setattr(ds, "N_STORE_BUCKETS", 16)
-    open_store(spark, str(tmp_path / "store"), store)
+    name = "store_b4"
+    sdir = str(tmp_path / "store4")
+    try:
+        create_store(sdir, name, _corpus(spark), n_buckets=4)
+        assert ds._n_buckets(sdir) == 4
+        spark.sql(f"DROP TABLE {name}_fp")
+        spark.sql(f"DROP TABLE {name}_bands")
+        open_store(spark, sdir, name)          # re-registers with 4 buckets
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}_fp").collect()[0][0]
+        assert "INTO 4 BUCKETS" in ddl, ddl
+
+        got = check_batch(spark, name, _batch(spark))
+        exact = {(r.doc_id, r.dup_of) for r in got["exact"].collect()}
+        near = {(r.doc_id, r.near_of) for r in got["near"].collect()}
+        assert exact == {(100, 3)} and (101, 5) in near  # fixture contract
+        add_batch(spark, name, _batch(spark))
+        gen = ds.compact_store(spark, sdir, name)
+        assert gen == 1
+        # compacted layout honors the persisted count: bucket ids 0..3
+        buckets = {
+            f.split("_")[1][:5]
+            for f in _parquet_files(os.path.join(sdir, "fp-g1"))
+        }
+        assert buckets <= {"00000", "00001", "00002", "00003"}
+        again = check_batch(spark, name, _batch(spark))
+        assert {(r.doc_id, r.dup_of) for r in again["exact"].collect()} \
+            == {(100, 3)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_fp")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
 
 
 def test_open_store_rejects_path_mismatch(spark, store, tmp_path):
@@ -253,6 +279,59 @@ def test_compact_store_collapses_files_and_preserves_answers(
     re = check_batch(spark, store, _batch(spark))
     assert {(r.doc_id, r.dup_of) for r in re["exact"].collect()} \
         == exact_before
+
+
+def test_compact_store_splits_oversized_buckets(spark, store, tmp_path):
+    """The size bound: when a table exceeds n_buckets × target bytes,
+    compaction must land MULTIPLE size-bounded files per bucket (the
+    refined repartition keeps each output task on exactly one bucket),
+    with unchanged answers and the no-store-shuffle bucketed plan
+    preserved — one file per bucket at 100 TB meant multi-TB files and
+    a 16-way read cap."""
+    import os
+    import re
+
+    import pdf_extractor_spark.job.dedup_store as ds
+
+    sdir = str(tmp_path / "store")
+    before = check_batch(spark, store, _batch(spark))
+    exact_before = {(r.doc_id, r.dup_of) for r in before["exact"].collect()}
+    near_before = {(r.doc_id, r.near_of) for r in before["near"].collect()}
+
+    # pick the target so each table must split into ~3 files per bucket
+    fp_bytes = ds._dir_bytes(os.path.join(sdir, "fp-g0"))
+    target = max(1, fp_bytes // (ds._n_buckets(sdir) * 3))
+    gen = ds.compact_store(spark, sdir, store, target_file_bytes=target)
+    assert gen == 1
+
+    counts: dict[str, int] = {}
+    for f in _parquet_files(os.path.join(sdir, "fp-g1")):
+        m = re.search(r"_(\d{5})\D", f)
+        assert m, f
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    assert max(counts.values()) > 1, (
+        f"oversized buckets must split into multiple files: {counts}"
+    )
+
+    after = check_batch(spark, store, _batch(spark))
+    assert {(r.doc_id, r.dup_of) for r in after["exact"].collect()} \
+        == exact_before
+    assert {(r.doc_id, r.near_of) for r in after["near"].collect()} \
+        == near_before
+
+    # the multi-file layout is still a valid bucketed table: the store
+    # side satisfies the join distribution with NO exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = check_batch(spark, store, _batch(spark))["exact"] \
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_open_store_heals_intra_store_stale_pointer(spark, store, tmp_path):
