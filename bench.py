@@ -57,7 +57,39 @@ HEADLINE = [
     "cosine_topk",          # brute-force ANN baseline
     "ann_ivf",              # IVF ANN scale path
     "multimodal_decode",    # Arrow-batch decode plumbing
+    "bpe_encode",           # learned-merges BPE (Arrow batch + memo)
 ]
+
+
+# quiet-host control reference: 8-proc median 0.55-0.61 s with 1-proc
+# floor 0.53 s measured on an idle host (load 3/32, 2026-08-18); a run
+# whose bracketing controls exceed this by >10% is a loaded window
+MD5_CONTROL_QUIET_REF = 0.55
+
+
+def md5_control(n_procs: int = 8, mib_per_proc: int = 256) -> float:
+    """Pure-CPU ambient-load control: N processes each md5 a fixed
+    buffer; returns the MEDIAN per-proc wall in seconds.  Identical work
+    every time, zero I/O, zero JVM — so any swing is host state (steal /
+    hypervisor contention), not repo code.  Quiet-host reference is
+    pinned in BENCH.md; a run whose control is >10% over reference is a
+    loaded window and its absolute walls are not comparable across
+    rounds (the r2→r3 flagship 'regression' was exactly this)."""
+    body = (
+        "import hashlib,time,sys\n"
+        "buf = b'x' * (1<<20)\n"
+        "t0 = time.time()\n"
+        f"h = hashlib.md5()\n"
+        f"for _ in range({mib_per_proc}): h.update(buf)\n"
+        "print(time.time() - t0)\n"
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", body],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(n_procs)
+    ]
+    walls = sorted(float(p.communicate()[0].strip()) for p in procs)
+    return round(walls[n_procs // 2], 3)
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 BENCH_SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW", "8000"))
@@ -82,11 +114,13 @@ def main() -> None:
         _dedup_embedding_cosine,
         _dedup_semantic,
     )
+    from pdf_extractor_spark.queries.textops import _bpe_encode
 
     impl_overrides = {
         "ann_ivf": _ann_ivf,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_semantic": _dedup_semantic,
+        "bpe_encode": _bpe_encode,
     }
 
     # untimed session warm-up (codegen, scan readers, broadcast machinery):
@@ -133,18 +167,31 @@ def main() -> None:
     # representative one (same rationale as the query-phase warm-up).
     run_extract(transcripts.limit(50_000)).write.mode("overwrite") \
         .format("noop").save()
-    t0 = time.time()
-    out_dir = tempfile.mkdtemp(prefix="bench_extract_out_")
-    run_extract(transcripts).write.mode("overwrite").parquet(out_dir)
-    extract_wall = time.time() - t0
+    # best-of-2 timed runs BRACKETED by the md5 control: the control
+    # answers "was this window quiet?" in-record, so a cross-round wall
+    # comparison is interpretable without a same-window rerun (VERDICT
+    # r3 ask #3 — two consecutive driver records had declined purely
+    # with ambient load).
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    control_before = md5_control()
+    extract_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        out_dir = tempfile.mkdtemp(prefix="bench_extract_out_")
+        run_extract(transcripts).write.mode("overwrite").parquet(out_dir)
+        extract_walls.append(time.time() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    control_after = md5_control()
+    extract_wall = min(extract_walls)
     timings["extract_pipeline"] = round(extract_wall, 3)
     extraction = {
         "turns": n_turns,
         "wall_s": round(extract_wall, 3),
+        "walls_s": [round(w, 3) for w in extract_walls],
         "turns_per_sec": round(n_turns / extract_wall, 1),
+        "md5_control_s": [control_before, control_after],
+        "md5_control_quiet_ref_s": MD5_CONTROL_QUIET_REF,
     }
 
     # ---- fail-safe reporting: the driver reads the LAST stdout line ----

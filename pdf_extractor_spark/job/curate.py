@@ -16,7 +16,7 @@ runs, assembled from the already-proven pieces:
 3. **Route + ingest** — accepted docs are appended to the store (so
    the next curation run dedups against them) and written to
    ``accepted/``; every doc's (verdict, reason, matched) goes to
-   ``decisions/``; a one-row audit summary (counts + accepted BPE-ish
+   ``decisions/``; a one-row audit summary (counts + accepted BPE
    token total — the number a training run budgets against) goes to
    ``audit/``.
 
@@ -32,13 +32,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extractor_spark.core.bpe import load_merges
 from pdf_extractor_spark.job.dedup_store import add_batch, check_batch
 from pdf_extractor_spark.queries.textops import (
-    _BPE_ISH,
     CURATE_MIN_QUALITY,
+    bpe_token_udf,
     langid_cols,
     quality_cols,
 )
+from pdf_extractor_spark.shipping import ensure_workers
 
 # shared with the hash-gated curation_route query so the job and its
 # declarative mirror can never drift on the threshold
@@ -68,14 +70,19 @@ def curate(
         out_dir = os.path.join(out_dir, "runs", run_id)
     q = quality_cols()
     lid = langid_cols()
+    # the audit's token budget is the REAL learned-merges BPE count
+    # (core/bpe.py): downstream mixture/packing decisions spend against
+    # it, and the regex proxy diverges on exactly the text quality gates
+    # select for.  Arrow-batched scalar UDF in the same narrow
+    # projection; merges ride in the closure (~5 KB).
+    ensure_workers(spark)
+    n_bpe = bpe_token_udf(load_merges())
     gated = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "text",
         q["quality_score"].alias("quality_score"),
         lid["pred_lang"].alias("pred_lang"),
-        F.size(
-            F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)
-        ).cast("bigint").alias("bpe_tokens"),
+        n_bpe("text").alias("bpe_tokens"),
     ).localCheckpoint(eager=False)
 
     survivors = gated.filter(

@@ -489,6 +489,78 @@ FROM documents
 """
 
 
+# Real learned-merges BPE (core/bpe.py spec): the regex class above is a
+# cheap upper-bound proxy; budgets that feed training decisions
+# (pack_sequences, job/curate.py's audit) need the real encode.  The
+# ~5 KB checked-in merges table rides to executors inside the task
+# closure (broadcast-small-dim pattern — the package zip ships only .py
+# files, so workers can't read the artifact path), and the encode is a
+# narrow Arrow-batched map with a per-task pretoken memo: no shuffle,
+# O(distinct pretokens) hot cost under Zipfian text.  Oracle: checked-in
+# expected parquet serialized by the INDEPENDENT mirror encoder
+# (oracle_mirror/bpe.py via scripts/gen_expected.py), so the two
+# implementations gate each other.
+_BPE_SCHEMA = "doc_id bigint, n_tokens bigint, token_checksum string"
+_BPE_PINNED_SF = "/root/testdata/sf0.01"
+
+
+def _bpe_batches(merges: list[tuple[str, str]]):
+    def gen(batches):
+        import pandas as pd
+
+        from pdf_extractor_spark.core.bpe import (
+            make_encoder,
+            token_checksum,
+        )
+
+        enc = make_encoder(merges)
+        for pdf in batches:
+            counts, sums = [], []
+            for text in pdf["text"]:
+                toks = enc(text if isinstance(text, str) else None)
+                counts.append(len(toks))
+                sums.append(token_checksum(toks))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": counts,
+                "token_checksum": sums,
+            })
+    return gen
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.core.bpe import load_merges
+    from pdf_extractor_spark.shipping import ensure_workers
+
+    ensure_workers(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_bpe_batches(load_merges()), _BPE_SCHEMA)
+
+
+def bpe_token_udf(merges: list[tuple[str, str]]):
+    """Scalar Arrow-batched token COUNT over the same encode —
+    composes into an existing projection (job/curate.py's gated
+    select) without a second pass."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def n_bpe_tokens(texts: pandas.Series) -> pandas.Series:
+        from pdf_extractor_spark.core.bpe import make_encoder
+
+        enc = make_encoder(merges)
+        return texts.map(
+            lambda t: len(enc(t if isinstance(t, str) else None))
+        )
+
+    # explicit __annotations__ (real types, not strings): textops has
+    # `from __future__ import annotations`, under which pyspark's
+    # typehint inference can't resolve a closure-local alias
+    n_bpe_tokens.__annotations__ = {
+        "texts": pandas.Series, "return": pandas.Series,
+    }
+    return pandas_udf(n_bpe_tokens, "long")
+
+
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", "")
@@ -1270,6 +1342,19 @@ QUERIES: list[Q] = [
       "pass — no global sort, no ntile window"),
     Q("token_count", _token_count, _TOKEN_COUNT_SQL,
       "whitespace + BPE-ish regex token counting"),
+    # sf_pin + self-pinned input: the oracle is expected parquet
+    # serialized by the mirror encoder over the PINNED sf0.01 documents,
+    # so the query reads that pin itself (the ann_ivf/_EXPECTED
+    # discipline); _bpe_encode stays importable for bench/jobs, which
+    # honor real sf dirs.
+    Q("bpe_encode",
+      lambda spark, _sf: _bpe_encode(spark, _BPE_PINNED_SF),
+      "SELECT * FROM read_parquet('/root/repo/expected/bpe_encode"
+      ".parquet')",
+      "learned-merges BPE encode (checked-in 512-merge table, "
+      "closure-broadcast, Arrow-batched, pretoken-memoized); oracle is "
+      "the independent mirror encoder's checked-in output",
+      sf_pin=_BPE_PINNED_SF),
     Q("curation_route", _curation_route, _CURATION_ROUTE_SQL,
       "curation decision routing: quality gate -> language gate -> "
       "first-survivor-wins exact dedup, gate-order reason attribution "

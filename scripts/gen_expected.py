@@ -331,6 +331,38 @@ def gen_ann_ivf(emb_path: str) -> pa.Table:
     })
 
 
+SF01_DOCS = "/root/testdata/sf0.01/documents.parquet"
+_BPE_MERGES_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pdf_extractor_spark", "core", "bpe_merges.txt",
+)
+
+
+def gen_bpe_encode(docs_path: str) -> pa.Table:
+    """bpe_encode oracle via the MIRROR encoder (oracle_mirror/bpe.py —
+    independent restatement of the core/bpe.py spec; the merges table is
+    shared DATA, not shared code)."""
+    from pdf_extractor_spark.oracle_mirror.bpe import (
+        mirror_checksum,
+        mirror_encode,
+        mirror_load_merges,
+    )
+
+    merges = mirror_load_merges(_BPE_MERGES_PATH)
+    tab = pq.read_table(docs_path, columns=["doc_id", "text"])
+    doc_ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = mirror_encode(text, merges)
+        rows.append((doc_id, len(toks), mirror_checksum(toks)))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "token_checksum": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
 def main() -> None:
     os.makedirs(EXPECTED_DIR, exist_ok=True)
     spans = oracle_spans()
@@ -341,6 +373,7 @@ def main() -> None:
         "evaluate_spans": gen_evaluate_spans(rows),
         "evaluate_summary": gen_evaluate_summary(rows),
         "ann_ivf": gen_ann_ivf(SF01_EMB),
+        "bpe_encode": gen_bpe_encode(SF01_DOCS),
     }
     for name, table in outputs.items():
         path = os.path.join(EXPECTED_DIR, f"{name}.parquet")

@@ -66,12 +66,19 @@ def test_curate_routes_and_audits(spark, store, tmp_path):
 
     acc = spark.read.parquet(f"{out}/accepted")
     assert [r.doc_id for r in acc.collect()] == [10]
-    # the audit token budget equals the accepted docs' BPE-ish count
-    want_tokens = acc.select(
-        F.sum(F.size(F.regexp_extract_all(
-            "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
-        ))).alias("n")
-    ).collect()[0].n
+    # the audit token budget equals the accepted docs' REAL BPE count —
+    # recomputed here with the INDEPENDENT mirror encoder, so the job's
+    # engine-side encode can't self-certify
+    from pdf_extractor_spark.core.bpe import MERGES_PATH
+    from pdf_extractor_spark.oracle_mirror.bpe import (
+        mirror_encode,
+        mirror_load_merges,
+    )
+
+    merges = mirror_load_merges(MERGES_PATH)
+    want_tokens = sum(
+        len(mirror_encode(r.text, merges)) for r in acc.collect()
+    )
     assert summary["accepted_bpe_tokens"] == want_tokens
 
     # a second run: the doc accepted in run 1 is now in the store, so

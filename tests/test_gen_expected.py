@@ -14,6 +14,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 import gen_expected as G  # noqa: E402
+import train_bpe as TB  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -26,18 +27,21 @@ def fresh():
         "evaluate_spans": G.gen_evaluate_spans(rows),
         "evaluate_summary": G.gen_evaluate_summary(rows),
         "ann_ivf": G.gen_ann_ivf(G.SF01_EMB),
+        "bpe_encode": G.gen_bpe_encode(G.SF01_DOCS),
     }
 
 
-def test_generator_imports_nothing_from_job_or_queries():
-    """Oracle independence: the expected-parquet generator must not build
-    its expectations out of the Spark job's own constants — a job-side bug
+@pytest.mark.parametrize("module", [G, TB])
+def test_generator_imports_nothing_from_job_or_queries(module):
+    """Oracle independence: the expected-parquet generator (and the BPE
+    merges trainer, whose artifact both encoders consume) must not build
+    its output out of the Spark job's own constants — a job-side bug
     would then self-certify.  Shared `core/` modules are the sanctioned
     parity strategy (CLAUDE.md); `job/` and `queries/` are not."""
     import ast
     import inspect
 
-    tree = ast.parse(inspect.getsource(G))
+    tree = ast.parse(inspect.getsource(module))
     imported = [
         node.module
         for node in ast.walk(tree)
@@ -88,7 +92,7 @@ def test_perturbed_job_pattern_turns_gate_red(spark, monkeypatch):
 
 @pytest.mark.parametrize("name", [
     "extract_spans", "extract_audit", "evaluate_spans",
-    "evaluate_summary", "ann_ivf",
+    "evaluate_summary", "ann_ivf", "bpe_encode",
 ])
 def test_expected_parquet_in_sync(name, fresh):
     on_disk = pq.read_table(os.path.join(G.EXPECTED_DIR, f"{name}.parquet"))
