@@ -159,24 +159,26 @@ def main() -> None:
 
     transcripts = spark.read.parquet(corpus_dir)
     n_turns = transcripts.count()
-    # untimed warm-up of the EXTRACTION plan on a small slice: the query
-    # phase warms the session generally, but this plan's codegen and its
-    # Python-worker pool are still cold — measured 24.3s cold vs 11.5s
-    # steady-state for the identical full run in one session.  A cluster
-    # job runs this pipeline for hours; the steady-state wall is the
-    # representative one (same rationale as the query-phase warm-up).
-    run_extract(transcripts.limit(50_000)).write.mode("overwrite") \
-        .format("noop").save()
-    # best-of-2 timed runs BRACKETED by the md5 control: the control
-    # answers "was this window quiet?" in-record, so a cross-round wall
-    # comparison is interpretable without a same-window rerun (VERDICT
-    # r3 ask #3 — two consecutive driver records had declined purely
-    # with ambient load).
+    # untimed warm-up of the EXTRACTION plan at FULL corpus size, then
+    # best-of-3 timed reps: a 50k-slice warm-up leaves the session far
+    # from steady state — measured same-session convergence 17.3 → 11.7
+    # → 11.0 → 9.9 s for the identical full run with an idle-host CPU
+    # control (tiered JIT keeps compiling through several full passes;
+    # BENCH.md finding 16).  The r2→r3→r4 flagship "decline" was exactly
+    # this protocol artifact: best-of-2 after a slice warm-up samples the
+    # middle of that curve.  A cluster job runs this pipeline for hours;
+    # the converged wall is the representative one.
+    run_extract(transcripts).write.mode("overwrite").format("noop").save()
+    # timed reps BRACKETED by the md5 control: the control answers "was
+    # this window quiet?" in-record, so a cross-round wall comparison is
+    # interpretable without a same-window rerun (VERDICT r3 ask #3 —
+    # two consecutive driver records had declined purely with ambient
+    # load).
     import shutil
 
     control_before = md5_control()
     extract_walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out_dir = tempfile.mkdtemp(prefix="bench_extract_out_")
         run_extract(transcripts).write.mode("overwrite").parquet(out_dir)
