@@ -180,6 +180,26 @@ def _fitted_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _FIT_CACHE[key]
 
 
+def _sql_double_lit(x: float) -> str:
+    """A Spark-SQL literal that parses to exactly this IEEE double.
+    ``repr(float)`` is the shortest round-tripping decimal; both CPython
+    and the JVM parse decimal→binary with correct rounding, so the text
+    recovers the identical bits.  Scientific notation already types as
+    DOUBLE in Spark SQL; plain decimals need the D suffix (they would
+    otherwise parse as DECIMAL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or s in ("inf", "-inf", "nan")) \
+        else s + "D"
+
+
+def _sql_double_array(vals: list[float]) -> str:
+    return "array(" + ",".join(_sql_double_lit(v) for v in vals) + ")"
+
+
+def _sql_double_matrix(rows: list[list[float]]) -> str:
+    return "array(" + ",".join(_sql_double_array(r) for r in rows) + ")"
+
+
 def _cell_scores(emb_col, cents: list[list[float]]):
     """array<struct<score, neg_cell>> of rhu4 cosine against every fitted
     centroid, built entirely from LITERALS — the coarse-quantizer
@@ -199,10 +219,19 @@ def _cell_scores(emb_col, cents: list[list[float]]):
     # ONE nested-array literal for the centroid matrix and one for the
     # norms (precomputed with the identical left fold): a per-centroid
     # expansion (K × dim F.lit leaves + K fold subtrees) costs Catalyst
-    # seconds of analysis per query construction — as Literal nodes the
-    # whole expression is a handful of tree nodes
-    matrix = F.lit([[float(x) for x in c] for c in cents])
-    norms = F.lit([_math.sqrt(kmeans._dot(c, c)) for c in cents])
+    # seconds of analysis per query construction.  The literals are
+    # emitted as a single F.expr SQL string, not F.lit(list): PySpark's
+    # list literal makes a py4j round-trip per element (K×dim ≈ 1000+
+    # calls ≈ 1 s of pure driver latency PER expression build, measured),
+    # while one expr string is one call parsed JVM-side.  Shortest-repr
+    # float text round-trips to the identical IEEE double in both
+    # parsers, so scores stay bit-equal to the mirror oracles.
+    matrix = F.expr(_sql_double_matrix(
+        [[float(x) for x in c] for c in cents]
+    ))
+    norms = F.expr(_sql_double_array(
+        [_math.sqrt(kmeans._dot(c, c)) for c in cents]
+    ))
     return F.transform(
         matrix,
         lambda c, j: F.struct(
@@ -230,10 +259,14 @@ def _assign_cells(vecs: DataFrame, cents: list[list[float]],
     if vecs.rdd.getNumPartitions() < para:
         vecs = vecs.repartition(para)
     best = F.array_max(_cell_scores(F.col(emb_col), cents))
-    out = vecs.withColumn("cell_id", -best["neg_cell"])
+    # ONE select, not chained withColumn: each withColumn re-analyzes
+    # the whole projection, and with the K×dim literal matrix in the
+    # tree that re-analysis is the dominant driver-side cost (measured
+    # 0.4-0.7 s per extra pass at K=16)
+    extra = [(-best["neg_cell"]).alias("cell_id")]
     if score_col is not None:
-        out = out.withColumn(score_col, best["score"])
-    return out
+        extra.append(best["score"].alias(score_col))
+    return vecs.select("*", *extra)
 
 
 def _probe_cells(df: DataFrame, emb_col: str, cents: list[list[float]],
@@ -242,11 +275,12 @@ def _probe_cells(df: DataFrame, emb_col: str, cents: list[list[float]],
     score DESC, cell_id ASC) — the query-side probe set, also narrow."""
     scores = _cell_scores(F.col(emb_col), cents)
     top = F.slice(F.reverse(F.array_sort(scores)), 1, n_probe)
-    return (
-        df.withColumn("_probe", F.explode(top))
-        .withColumn("cell_id", -F.col("_probe.neg_cell"))
-        .drop("_probe")
-    )
+    # map struct → cell id INSIDE the array, then one top-level explode
+    # in a single select (generators can't nest inside expressions, and
+    # chained withColumn re-analyzes the literal-heavy plan per call —
+    # same one-analysis-pass rationale as _assign_cells)
+    cell_ids = F.transform(top, lambda s: -s["neg_cell"])
+    return df.select("*", F.explode(cell_ids).alias("cell_id"))
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
