@@ -16,6 +16,7 @@ from pdf_extractor_spark.queries import (
     extraction,
     relational,
     similarity,
+    temporal,
     textops,
 )
 from pdf_extractor_spark.queries.base import Q
@@ -32,6 +33,7 @@ from pdf_extractor_spark.queries.base import Q
 # what falls outside if anything must.
 ALL: list[Q] = (
     similarity.QUERIES
+    + temporal.QUERIES      # new in r4 → inside the checked window
     + extraction.QUERIES
     + dedup.QUERIES
     + textops.QUERIES

@@ -311,3 +311,33 @@ def test_dedup_semantic_keep_rule_without_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # min_cs and keep_id, partial+final
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The AS-OF join must be the tagged-union + forward-fill shape: ONE
+    user_id exchange feeding a window, ZERO join operators — a range
+    join (user match + ts <= ts) explodes to O(clicks x views-per-user)
+    pairs before aggregating, and at web scale a hot user makes that
+    quadratic.  Both event_type filters must reach the scans."""
+    plan = _formatted_plan(spark, "asof_join")
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_stratified_split_is_narrow_plus_partial_agg(spark):
+    """Split assignment is a pure function of doc_id (md5 bucket), so the
+    plan must be scan -> project -> partial agg -> one exchange -> final
+    agg: no window, no join, no Python, and the scan pruned to the three
+    consumed columns."""
+    plan = _formatted_plan(spark, "stratified_split")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert (
+        "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
+        in plan
+    )
