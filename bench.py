@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_ivf",              # IVF ANN scale path
     "multimodal_decode",    # Arrow-batch decode plumbing
     "bpe_encode",           # learned-merges BPE (Arrow batch + memo)
+    "asof_join",            # tagged-union forward-fill AS-OF join
+    "stratified_split",     # md5-keyed stable train/val/test split
 ]
 
 
