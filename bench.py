@@ -59,7 +59,9 @@ HEADLINE = [
     "multimodal_decode",    # Arrow-batch decode plumbing
     "bpe_encode",           # learned-merges BPE (Arrow batch + memo)
     "asof_join",            # tagged-union forward-fill AS-OF join
+    "range_join",           # time-bin bucketed interval-overlap join
     "stratified_split",     # md5-keyed stable train/val/test split
+    "source_overlap",       # inter-source shared-shingle matrix
 ]
 
 

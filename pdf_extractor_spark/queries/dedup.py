@@ -887,6 +887,112 @@ FROM tot t LEFT JOIN d ON d.doc_id = t.doc_id
 """
 
 
+# -------------------------------------------- cross-source overlap matrix
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every pair of sources, the
+    number of distinct K-word shingles they share, plus a containment
+    score (shared / min(|A|, |B|)) — the measurement a data-mixture
+    design needs before weighting sources (double-counted content
+    inflates a source's effective weight).
+
+    Scale shape: ONE exchange on shingle folds the corpus to a per-
+    shingle sorted source set (collect_set partially aggregates map-
+    side, and set size is bounded by the number of sources — dozens,
+    not documents — so no group can blow up no matter how common the
+    shingle).  Pairs are generated JVM-side from each sorted set
+    (≤ C(n_sources, 2) per shingle) and count-aggregated; per-source
+    distinct-shingle totals come from the same folded table and join
+    back as a broadcast.  The naive alternative — self-joining the
+    distinct (source, shingle) table on shingle — re-shuffles the full
+    shingle set a second time and materializes every candidate row; the
+    oracle does exactly that, in DuckDB, as the independent algorithm.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartition(n, "source")  # spread the hash-heavy map work
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    idx = F.when(
+        F.size(tokens) >= _SHINGLE_K,
+        F.sequence(F.lit(1), F.size(tokens) - (_SHINGLE_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i, _SHINGLE_K), " ")
+    )
+    # Both consumers below branch off the SAME folded table; Spark's
+    # ReusedExchange serves the second branch from the first's shuffle
+    # files, so the expensive shingle map side runs once — no pinned
+    # localCheckpoint blocks needed (ADVICE r3: cache lifetime).
+    per_shingle = (
+        d.select("source", F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    counts = (
+        per_shingle.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = per_shingle.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    ca = F.broadcast(counts.withColumnRenamed("source", "source_a")
+                     .withColumnRenamed("n", "n_a"))
+    cb = F.broadcast(counts.withColumnRenamed("source", "source_b")
+                     .withColumnRenamed("n", "n_b"))
+    return (
+        shared.join(ca, "source_a").join(cb, "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            (F.col("n_shared").cast("double")
+             / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         array_to_string(tokens[i + 1 : i + {_SHINGLE_K}], ' ') AS shingle
+  FROM (
+    SELECT source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+    FROM documents
+  ), unnest(range(greatest(len(tokens) - {_SHINGLE_K - 1}, 0))) AS u(i)
+),
+cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared, ca.n AS n_a, cb.n AS n_b,
+       CAST(s.n_shared AS DOUBLE) / least(ca.n, cb.n) AS containment
+FROM shared s
+JOIN cnt ca ON ca.source = s.source_a
+JOIN cnt cb ON cb.source = s.source_b
+"""
+
+
 QUERIES: list[Q] = [
     Q("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
       "exact dedup via md5 hash-groupBy"),
@@ -911,4 +1017,9 @@ QUERIES: list[Q] = [
       "per-doc duplicated-passage profile: fraction of K-word passages "
       "shared with another document (shingle-DF ≥ 2), the exact-"
       "substring-dedup measurement — O(shingles), no pair join"),
+    Q("source_overlap", _source_overlap, _SOURCE_OVERLAP_SQL,
+      "inter-source duplication matrix: distinct shared shingles + "
+      "containment per source pair — one shingle exchange to bounded "
+      "per-shingle source sets, JVM pair generation, broadcast totals; "
+      "oracle self-joins the distinct (source, shingle) table"),
 ]

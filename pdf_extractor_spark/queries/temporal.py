@@ -17,6 +17,23 @@
   event_id wins — because ASOF's pick among equal timestamps is
   otherwise unspecified and the hash gate needs determinism.
 
+- range_join — the interval-overlap (point-in-range) join: each ``click``
+  is matched to every ``view`` whose validity window [ts, ts + 6h)
+  contains it, per user.  Spark executes a non-equi join condition
+  (``l.ts BETWEEN r.start AND r.end``) as BroadcastNestedLoopJoin — a
+  full pairwise scan that cannot survive web scale.  The scale-correct
+  composition is TIME-BIN BUCKETING: pick the bin width equal to the
+  maximum interval length, explode each interval to the (at most 2)
+  bins it overlaps, compute each point's single containing bin, and
+  equi-join on (user_id, bin) before filtering exact containment.
+  Candidate pairs are bounded by per-(user, bin) occupancy — no
+  nested-loop operator, AQE handles hot bins like any other skewed
+  equi-join, and every true pair is produced exactly once because the
+  point lives in exactly one bin.  The bin arithmetic stays in exact
+  BIGINT (``ts - ts % width``, never double division) so boundary
+  timestamps can't flip under floating-point rounding.  The oracle is
+  DuckDB's native inequality join — same semantics, no bucketing.
+
 - stratified_split — deterministic train/val/test assignment (90/5/5)
   stratified by ``source``: bucket = md5("split|" + doc_id) mod 100, the
   same seedable engine-portable keyed-hash idiom as review_sample /
@@ -119,6 +136,80 @@ ASOF LEFT JOIN rights r
 """
 
 
+# Interval length == bin width: every interval overlaps at most 2 bins,
+# so the exploded right side is at most 2x its input and each candidate
+# (point, interval) pair materializes exactly once (via the point's bin).
+_IVL_US = 6 * 3600 * 1_000_000  # 6h view-validity window
+
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def bin_start(c):  # exact bigint floor-to-bin; no double division
+        return c - c % F.lit(_IVL_US)
+
+    views = ev.filter(F.col("event_type") == _RIGHT_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        ts_us.alias("start_us"),
+        (ts_us + F.lit(_IVL_US)).alias("end_us"),
+    )
+    v_binned = views.select(
+        "user_id", "r_event_id", "start_us", "end_us",
+        F.explode(
+            F.sequence(
+                bin_start(F.col("start_us")),
+                bin_start(F.col("end_us") - 1),  # end exclusive
+                F.lit(_IVL_US),
+            )
+        ).alias("bin"),
+    )
+    clicks = ev.filter(F.col("event_type") == _LEFT_TYPE).select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        bin_start(ts_us).alias("bin"),
+    )
+    # LEFT equi-join: unmatched clicks survive with n_covering = 0, and
+    # the containment predicate is applied as a conditional inside the
+    # aggregate (count/min/max ignore the NULLs it produces) so no
+    # second pass over the candidates is needed.
+    cand = clicks.join(v_binned, ["user_id", "bin"], "left")
+    hit = F.when(
+        (F.col("ts_us") >= F.col("start_us"))
+        & (F.col("ts_us") < F.col("end_us")),
+        F.col("r_event_id"),
+    )
+    return cand.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count(hit).alias("n_covering"),
+        F.min(hit).alias("first_view_id"),
+        F.max(hit).alias("last_view_id"),
+    )
+
+
+_RANGE_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id AS r_event_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_IVL_US} AS end_us
+  FROM events WHERE event_type = '{_RIGHT_TYPE}'
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = '{_LEFT_TYPE}'
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       CAST(count(v.r_event_id) AS BIGINT) AS n_covering,
+       min(v.r_event_id) AS first_view_id,
+       max(v.r_event_id) AS last_view_id
+FROM c LEFT JOIN v
+  ON c.user_id = v.user_id
+ AND c.ts_us >= v.start_us AND c.ts_us < v.end_us
+GROUP BY c.event_id, c.user_id, c.ts_us
+"""
+
+
 _TRAIN_PCT = 90
 _VAL_PCT = 95  # bucket < 95 and >= 90 → val; >= 95 → test
 
@@ -179,6 +270,11 @@ QUERIES: list[Q] = [
       "AS-OF join (latest view at-or-before each click, per user) as a "
       "tagged-union forward fill — one user_id shuffle, no range-join "
       "pair blowup; oracle is DuckDB's native ASOF LEFT JOIN"),
+    Q("range_join", _range_join, _RANGE_SQL,
+      "interval-overlap join (views covering each click, per user) via "
+      "time-bin bucketing — equi-join on (user_id, bin), candidate "
+      "pairs bounded by bin occupancy, no nested-loop join; oracle is "
+      "DuckDB's native inequality join"),
     Q("stratified_split", _stratified_split, _SPLIT_SQL,
       "deterministic 90/5/5 train/val/test split stratified by source "
       "(md5-keyed, partition/engine/rerun-stable), per-stratum summary"),

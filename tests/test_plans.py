@@ -341,3 +341,45 @@ def test_stratified_split_is_narrow_plus_partial_agg(spark):
         "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
         in plan
     )
+
+
+def test_range_join_is_binned_equi_join_not_nested_loop(spark):
+    """A point-in-interval condition handed to Spark verbatim plans as
+    BroadcastNestedLoopJoin — a full pairwise scan. The bucketed form
+    must plan as a plain equi-join on (user_id, bin) with the interval
+    containment as a post-join conditional, and both event_type filters
+    pushed into the parquet scan."""
+    plan = _formatted_plan(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_source_overlap_folds_shingles_once_and_broadcasts_totals(spark):
+    """The per-shingle source-set fold is the only heavy exchange; the
+    pair and totals branches must both be served from that ONE shuffle,
+    and the per-source totals must come back as broadcast joins (20 rows
+    vs the pair table).  The static plan shows the fold subtree three
+    times (both totals sides + pairs); AQE's runtime stage reuse is what
+    collapses them, so the reuse gate reads the FINAL adaptive plan
+    after an execution."""
+    df = QUERIES["source_overlap"](spark, SF)
+    plan = _formatted_plan(spark, "source_overlap")
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # tree form only — the details section repeats each node name
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 2
+    df.collect()
+    final = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in final
+    # the shingle fold's shuffle files serve every consumer branch
+    assert "ReusedExchange" in final
+    assert "hashpartitioning(shingle" in final.split("ReusedExchange", 1)[1]
+    # and the second totals broadcast is the first one, reused
+    assert "BroadcastExchange HashedRelationBroadcastMode" in \
+        final.split("ReusedExchange", 1)[1]
