@@ -255,3 +255,95 @@ def test_cell_candidates_bounded_under_10x_growth(spark, tmp_path_factory):
     assert work(grown) < pinned_work / 2, (
         "scaled-K pair work should beat the pinned-K shape decisively"
     )
+
+
+# ------------------------------------------------- range-join bin boundary
+
+def test_range_join_boundary_semantics(spark, tmp_path_factory):
+    """Hand-computed containment at the exact edges the bin bucketing
+    could get wrong: interval start (inclusive), the last microsecond
+    before the end (inclusive), the end itself (exclusive), an interval
+    that CROSSES a bin boundary (the exploded second bin must still
+    produce the pair), a click covered by two overlapping windows, and
+    a user with no views at all (left-join survival).
+
+    The base timestamp is an exact bin boundary (1704067200 s is a
+    multiple of the 6 h bin width), so "end == next bin start" is
+    exercised literally.
+    """
+    from datetime import datetime, timedelta
+
+    from pdf_extractor_spark.queries.temporal import _IVL_US, _range_join
+
+    base = datetime(2024, 1, 1)  # epoch 1704067200s — a 6h-bin boundary
+    assert (1_704_067_200 * 1_000_000) % _IVL_US == 0
+    us = timedelta(microseconds=1)
+    h = timedelta(hours=1)
+    rows = [
+        # views: v101 = [base, base+6h), v102 = [base+3h, base+9h)
+        (101, base, 1, "view"),
+        (102, base + 3 * h, 1, "view"),
+        # clicks, user 1
+        (1, base, 1, "click"),               # == v101 start → covered
+        (2, base + 6 * h - us, 1, "click"),  # last us of v101 → both
+        (3, base + 6 * h, 1, "click"),       # v101 end (excl) → v102 only
+        (5, base + 4 * h, 1, "click"),       # inside both windows
+        # click, user 2: no views for this user at all
+        (4, base + 1 * h, 2, "click"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("rangejoin")
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    got = {
+        r.event_id: (r.n_covering, r.first_view_id, r.last_view_id)
+        for r in _range_join(spark, str(d)).collect()
+    }
+    assert got == {
+        1: (1, 101, 101),   # start-inclusive
+        2: (2, 101, 102),   # end boundary not yet reached
+        3: (1, 102, 102),   # end-exclusive; cross-bin pair survives
+        5: (2, 101, 102),   # two covering windows
+        4: (0, None, None),  # left-join: uncovered click kept
+    }
+
+
+def test_source_overlap_hand_matrix(spark, tmp_path_factory):
+    """Hand-computed overlap matrix pinning SET semantics: a shingle
+    repeated across several docs of the same source counts once in both
+    the pair overlap and the per-source totals, and disjoint sources
+    produce no row at all."""
+    from pdf_extractor_spark.queries.dedup import _source_overlap
+
+    docs = [
+        # srcA distinct 3-shingles: {"a b c", "b c d"} (doc 2 repeats one)
+        (1, "srcA", "a b c d"),
+        (2, "srcA", "b c d"),
+        # srcB distinct: {"b c d", "c d e"} → shares exactly {"b c d"}
+        (3, "srcB", "b c d e"),
+        # srcC disjoint from both
+        (4, "srcC", "x y z"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "source": pa.array([r[1] for r in docs], pa.string()),
+            "text": pa.array([r[2] for r in docs], pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("srcoverlap")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    rows = _source_overlap(spark, str(d)).collect()
+    assert len(rows) == 1  # only the A–B pair overlaps
+    r = rows[0]
+    assert (r.source_a, r.source_b) == ("srcA", "srcB")
+    assert (r.n_shared, r.n_a, r.n_b) == (1, 2, 2)
+    assert r.containment == 0.5
