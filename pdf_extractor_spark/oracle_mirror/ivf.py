@@ -91,6 +91,47 @@ def mirror_fit(ids_vecs, k: int | None = None, n_sample: int | None = None,
     return cents
 
 
+MIRROR_EXPAND_OFFSET = 1_000_000
+
+
+def mirror_expand(pairs):
+    """Independent restatement of the 5× exact-transform corpus
+    expansion (queries/similarity.py _expanded_corpus): base plus
+    reverse, rotate-13, alternate-negation, rotate-29 — permutation and
+    sign ops only, so every derived vector is bit-identical on both
+    sides with no float rounding in the derivation."""
+    out = list(pairs)
+    for j, tf in enumerate([
+        lambda v: v[::-1],
+        lambda v: v[13:] + v[:13],
+        lambda v: [(-x if i % 2 else x) for i, x in enumerate(v)],
+        lambda v: v[29:] + v[:29],
+    ], start=1):
+        out.extend(
+            (vid + MIRROR_EXPAND_OFFSET * j, tf(list(vec)))
+            for vid, vec in pairs
+        )
+    return out
+
+
+@lru_cache(maxsize=4)
+def expanded_pairs_from_parquet(emb_path: str):
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    base = list(zip(t.column("vec_id").to_pylist(),
+                    t.column("embedding").to_pylist()))
+    return mirror_expand(base)
+
+
+@lru_cache(maxsize=4)
+def fit_centroids_expanded(emb_path: str) -> tuple[tuple[float, ...], ...]:
+    """Fitted centroids for the 5×-expanded corpus — K comes from the
+    corpus-scaled rule, so at the sf0.01 pin (2500 rows) this is the
+    K=20 above-the-floor fit."""
+    return tuple(
+        tuple(c) for c in mirror_fit(expanded_pairs_from_parquet(emb_path))
+    )
+
+
 @lru_cache(maxsize=4)
 def fit_centroids_from_parquet(emb_path: str) -> tuple[tuple[float, ...], ...]:
     """Fitted centroids for an embeddings.parquet (vec_id, embedding)."""

@@ -23,22 +23,48 @@ from pdf_extractor_spark.queries.base import Q
 
 # Registry ORDER is part of the driver contract in practice: the
 # driver's correctness gate checks the first ~50 registry entries, so
-# modules whose queries changed most recently come FIRST — round 3
-# shipped 59 queries and the driver's 50 rows stopped exactly before
-# similarity/extraction, leaving the round's most-rewritten query
-# (ann_ivf) with only a rehearsal check (VERDICT r3).  Changed-first
-# ordering guarantees every query touched in a round lands inside the
-# checked window; the tail (stable relational demos, driver-green since
-# r1 and re-checked by tests/test_oracle_parity.py every session) is
-# what falls outside if anything must.
-ALL: list[Q] = (
+# (1) queries CHANGED this round come first — everything touched in a
+# round must land inside the checked window (round 3's one gap: the
+# rewritten ann_ivf fell outside and got only a rehearsal check), and
+# (2) the STALE TAIL rotates through next — an unchanged query must
+# still get a driver row at least every other round so driver evidence
+# never goes stale (VERDICT r4 ask #3: the 14 relational demos last had
+# a driver row in r03).  What falls outside is exactly the set that was
+# driver-green in the PREVIOUS round's record.
+_BASE: list[Q] = (
     similarity.QUERIES
-    + temporal.QUERIES      # new in r4 → inside the checked window
+    + temporal.QUERIES
     + extraction.QUERIES
     + dedup.QUERIES
     + textops.QUERIES
     + relational.QUERIES
 )
+
+# queries whose engine code or oracle changed in round 5
+_CHANGED_R5 = [
+    "ann_ivf_scaled",        # new: K>floor quantizer fit
+    "audit_consistency",     # new: resumable-sink lineage invariant
+    "pack_sequences",        # rewritten on real BPE token counts
+    "source_overlap",        # repartition key fix (ADVICE r4)
+    "dedup_semantic",        # perf work shares the pair/fit caches
+    "dedup_embedding_cosine",
+]
+
+# the 14 queries whose last driver row is CORRECTNESS_r03 (outside the
+# r4 window) — rotated to the front this round
+_STALE_ROTATION = [
+    "priority_counts", "part_filter", "lookup_join", "anti_resume",
+    "latest_wins", "forward_fill", "sessionize", "running_total",
+    "sort_key", "explode_tokens", "group_concat", "range_slice",
+    "topk_orders", "union_dedupe",
+]
+
+_front = _CHANGED_R5 + _STALE_ROTATION
+_by_name = {q.name: q for q in _BASE}
+assert all(n in _by_name for n in _front), "rotation names drifted"
+ALL: list[Q] = [_by_name[n] for n in _front] + [
+    q for q in _BASE if q.name not in set(_front)
+]
 
 _names = [q.name for q in ALL]
 assert len(_names) == len(set(_names)), "duplicate query names"

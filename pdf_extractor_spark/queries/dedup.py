@@ -910,7 +910,9 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select("source", "text")
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = d.repartition(n, "source")  # spread the hash-heavy map work
+    # round-robin: 'source' has ~dozens of values, so hashing on it would
+    # collapse the hash-heavy shingle map work into n_sources tasks
+    d = d.repartition(n)
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     idx = F.when(
         F.size(tokens) >= _SHINGLE_K,

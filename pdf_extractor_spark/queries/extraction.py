@@ -39,7 +39,12 @@ from pyspark.sql import types as T
 
 from pdf_extractor_spark.gen.transcripts import generate_transcripts
 from pdf_extractor_spark.job.extract import run_extract
-from pdf_extractor_spark.queries.base import Q, load, xor_checksum
+from pdf_extractor_spark.queries.base import (
+    Q,
+    evict_stale_session_entries,
+    load,
+    xor_checksum,
+)
 
 _N_CONVS = 40
 _SEED = 42
@@ -82,6 +87,66 @@ def _extract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("had_reference")).alias("n_referenced"),
         F.count_if(F.col("n_fragments") > 1).alias("n_stitched"),
         xor_checksum("span_id", "text").alias("content_checksum"),
+    )
+
+
+# the resumable-sink output dir per Spark app: the sink run is the
+# expensive part (stage + 4 batch jobs); every audit_consistency call in
+# a session reads the same committed output
+_SINK_CACHE: dict = {}
+
+
+def _audit_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/S14 exactly-once lineage as a driver-hash-checked INVARIANT:
+    run the resumable batch sink (job/sink.py — stage, per-batch commit,
+    audit-is-the-commit-point) over the synthetic corpus, then join each
+    committed audit row to a full RECOUNT of the committed data files.
+    ``consistent`` asserts committed == audited per bucket on every
+    metric including the xor content checksum; the oracle is the
+    independent mirror's per-bucket expectation (scripts/gen_expected.py
+    buckets the oracle spans with zlib.crc32 itself), so a sink that
+    drops, doubles, or mis-audits a bucket breaks the hash even if it
+    stays self-consistent.  ≙ the reference's checkpoint bookkeeping
+    (/root/reference/src/checkpoint.py:22-78) promoted to a queryable
+    lineage table."""
+    from pdf_extractor_spark.job import sink
+
+    evict_stale_session_entries(_SINK_CACHE, spark)
+    key = spark.sparkContext.applicationId
+    if key not in _SINK_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="audit_consistency_")
+        sink.run_resumable(spark, transcripts_df(spark), out)
+        _SINK_CACHE[key] = out
+    out = _SINK_CACHE[key]
+    audit = sink.read_audit(spark, out).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("batch").cast("int").alias("batch"),
+        "n_convs", "n_spans", "n_fragments", "n_referenced",
+        "content_checksum",
+    )
+    recount = sink.read_output(spark, out).groupBy("bucket").agg(
+        F.countDistinct("conv_id").alias("d_convs"),
+        F.count(F.lit(1)).alias("d_spans"),
+        F.sum("n_fragments").cast("bigint").alias("d_fragments"),
+        F.count_if(F.col("had_reference")).alias("d_referenced"),
+        xor_checksum("conv_id", "span_id", "text").alias("d_checksum"),
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+    joined = audit.join(recount, "bucket", "full")
+    return joined.select(
+        "bucket", "batch", "n_convs", "n_spans", "n_fragments",
+        "n_referenced", "content_checksum",
+        # a bucket present on only ONE side (data without audit, audit
+        # without data) must read inconsistent, not NULL
+        F.coalesce(
+            (F.col("n_convs") == F.col("d_convs"))
+            & (F.col("n_spans") == F.col("d_spans"))
+            & (F.col("n_fragments") == F.col("d_fragments"))
+            & (F.col("n_referenced") == F.col("d_referenced"))
+            & (F.col("content_checksum") == F.col("d_checksum")),
+            F.lit(False),
+        ).alias("consistent"),
     )
 
 
@@ -216,6 +281,11 @@ QUERIES: list[Q] = [
       "EvaluationReport one-row aggregate"),
     Q("extract_audit", _extract_audit, _expected_sql("extract_audit"),
       "per-conversation lineage + metrics audit rows"),
+    Q("audit_consistency", _audit_consistency,
+      _expected_sql("audit_consistency"),
+      "resumable-sink lineage invariant: committed data recount == "
+      "audit rows per bucket (count + fragments + refs + xor checksum), "
+      "hash-checked against the mirror's independent bucketing"),
     Q("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,
       "opaque-binary payload typed metadata"),
     Q("multimodal_decode", _multimodal_decode, _MULTIMODAL_DECODE_SQL,

@@ -283,22 +283,21 @@ def _probe_cells(df: DataFrame, emb_col: str, cents: list[list[float]],
     return df.select("*", F.explode(cell_ids).alias("cell_id"))
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    cents = _fitted_centroids(spark, sf_dir)
-
+def _ivf_search(corpus: DataFrame, queries: DataFrame,
+                cents: list[list[float]]) -> DataFrame:
+    """The IVF search shape shared by ann_ivf and ann_ivf_scaled:
+    narrow assignment, narrow query probe, one cell_id-keyed join."""
     # assignment: narrow argmax against the broadcast-as-literals fit
     cells = _assign_cells(
-        e.select(F.col("vec_id").alias("n_id"),
-                 F.col("embedding").alias("n_emb")),
+        corpus.select(F.col("vec_id").alias("n_id"),
+                      F.col("embedding").alias("n_emb")),
         cents, "n_emb",
     )
 
     # queries probe their top-N_PROBE cells (narrow explode)
     probes = _probe_cells(
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb")),
+        queries.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")),
         "q_emb", cents, _N_PROBE,
     )
 
@@ -315,6 +314,101 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "rank", "n_id", "score", "cell_id")
+    )
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return _ivf_search(
+        e, e.filter(F.col("vec_id") < _N_QUERIES),
+        _fitted_centroids(spark, sf_dir),
+    )
+
+
+# ----------------------------------------- scaled-K fit (above the floor)
+
+_EXPAND_OFFSET = 1_000_000
+
+
+def _expanded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5× derived vector corpus: the base table plus four EXACT
+    per-vector transforms (reverse, two rotations, alternate negation —
+    pure permutation/sign ops, so no float rounding enters the
+    derivation and the mirror reproduces every vector bit-for-bit).
+    The four variants point in genuinely different directions (cosine is
+    scale- but not permutation-invariant), so the fit sees a real
+    5×-denser distribution, not degenerate copies.  At the sf0.01 pin:
+    2500 rows → K = ceil(2500/128) = 20 — ABOVE the K=16 floor, which
+    is the whole point (every other driver-gate input sits under the
+    2048-row knee and exercises only the historical floor fit)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = F.size("embedding")
+
+    def rot(k: int):
+        return F.concat(
+            F.slice("embedding", k + 1, dim - k),
+            F.slice("embedding", 1, k),
+        )
+
+    neg_alt = F.transform(
+        "embedding",
+        lambda x, i: (
+            x.cast("double") * (F.lit(1) - 2 * (i % 2))
+        ).cast("float"),
+    )
+    variants = [F.reverse("embedding"), rot(13), neg_alt, rot(29)]
+    out = e
+    for j, v in enumerate(variants, start=1):
+        out = out.unionByName(e.select(
+            (F.col("vec_id") + _EXPAND_OFFSET * j).alias("vec_id"),
+            v.alias("embedding"),
+        ))
+    return out
+
+
+_SCALED_FIT_CACHE: dict = {}
+
+
+def _scaled_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The same spec as ``_fitted_centroids`` driven ABOVE the K floor:
+    count probe on the derived corpus (a narrow scan of the base table —
+    at scale the count is base_count × 5, known without a scan), K from
+    the corpus-scaled rule, 16·K-row hash-bounded TakeOrdered sample,
+    deterministic driver Lloyd fit."""
+    evict_stale_session_entries(_SCALED_FIT_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCALED_FIT_CACHE:
+        corpus = _expanded_corpus(spark, sf_dir)
+        k = kmeans.n_centroids(corpus.count())
+        sample = (
+            corpus.select(
+                "vec_id", "embedding",
+                F.md5(F.col("vec_id").cast("string")).alias("hk"),
+            )
+            .orderBy("hk", "vec_id")
+            .limit(kmeans.n_fit_sample(k))
+            .collect()
+        )
+        _SCALED_FIT_CACHE[key] = kmeans.fit(
+            [(r.vec_id, [float(x) for x in r.embedding]) for r in sample],
+            k=k,
+        )
+    return _SCALED_FIT_CACHE[key]
+
+
+def _ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf with a K > floor quantizer: the 5×-expanded corpus pushes
+    the K rule past the 16 floor (K=20 at the sf0.01 pin), so the
+    corpus-scaled fit path — bigger sample, more Lloyd cells, wider
+    literal matrix — is what the driver hash-checks end-to-end, not just
+    the adversarial pytest (VERDICT r4 ask #5).  Oracle = checked-in
+    expected parquet from the independent mirror expansion + fit +
+    search (oracle_mirror/ivf.py, scripts/gen_expected.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    return _ivf_search(
+        _expanded_corpus(spark, sf_dir),
+        e.filter(F.col("vec_id") < _N_QUERIES),
+        _scaled_centroids(spark, sf_dir),
     )
 
 
@@ -514,15 +608,26 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = lab.join(
         cells.select("vec_id", "cell_id", "cent_score"), "vec_id"
     )
-    min_cs = members.groupBy("group_id").agg(
-        F.min("cent_score").alias("_min_cs")
+    # keep rule as ONE map-side-combining HASH agg: "lowest cent_score,
+    # tie → lowest vec_id" is the lexicographic min over the pair, and
+    # the pair packs into one orderable BIGINT — cent_score is rhu4
+    # (exactly ±10000 quarter-steps ×1e-4), so round(cs·1e4) recovers
+    # its integer grid losslessly and key = cs_int·2⁴² + vec_id is
+    # order-preserving and injective while vec_id < 2⁴² (≈4.4e12 ids —
+    # comfortably above the 100-TB design point).  A struct-min (or
+    # min_by) expresses the same thing but Spark plans struct-ordered
+    # aggregates as SortAggregate; the packed key keeps the partial+
+    # final HashAggregate shape the plan gate pins.  vs the previous
+    # two-agg chain (min score → join → filter → min id) this drops one
+    # exchange + one join over the member table (r5 A/B in BENCH.md).
+    _shift = F.lit(1 << 42).cast("bigint")
+    packed = (
+        F.round(F.col("cent_score") * 10000).cast("bigint") * _shift
+        + F.col("vec_id")
     )
-    keep = (
-        members.join(min_cs, "group_id")
-        .filter(F.col("cent_score") == F.col("_min_cs"))
-        .groupBy("group_id")
-        .agg(F.min("vec_id").alias("_keep_id"))
-    )
+    keep = members.groupBy("group_id").agg(
+        F.min(packed).alias("_k")
+    ).select("group_id", F.pmod("_k", _shift).alias("_keep_id"))
     return members.join(keep, "group_id").select(
         "vec_id", "group_id", "cell_id", "cent_score",
         (F.col("vec_id") == F.col("_keep_id")).alias("is_keep"),
@@ -628,6 +733,14 @@ QUERIES: list[Q] = [
       "SELECT * FROM read_parquet('/root/repo/expected/ann_ivf.parquet')",
       "IVF ANN with fitted sampled-k-means quantizer (scale path); oracle "
       "is a checked-in independent sequential mirror at the pinned sf0.01",
+      sf_pin=_PINNED_SF),
+    Q("ann_ivf_scaled", _self_pinned(_ann_ivf_scaled),
+      "SELECT * FROM read_parquet("
+      "'/root/repo/expected/ann_ivf_scaled.parquet')",
+      "IVF ANN with the quantizer K ABOVE the floor (K=20 from a "
+      "5×-expanded exact-transform corpus) — drives the corpus-scaled "
+      "fit path through the driver hash gate; oracle is the independent "
+      "mirror expansion+fit+search at the pinned sf0.01",
       sf_pin=_PINNED_SF),
     Q("embedding_stats", _embedding_stats, _EMB_STATS_SQL,
       "vector corpus norm/label profile"),

@@ -1010,7 +1010,13 @@ FROM r WHERE sample_key < rate_pct
 # window would serialize each source's entire 100 TB shard through one
 # task; 64-way blocking bounds every window partition while keeping the
 # assignment deterministic (same doc → same block → same seq_no at any
-# parallelism).
+# parallelism).  Token counts are the REAL learned-merges BPE encode
+# (bpe_token_udf — the same broadcast merges table job/curate.py
+# budgets with), not the BPE-ish regex: a packing plan built on one
+# tokenizer and trained on another silently over/under-fills every
+# sequence.  The oracle takes per-doc counts from the independent
+# mirror encoder's checked-in parquet (expected/bpe_encode.parquet) and
+# restates the window arithmetic itself in DuckDB.
 _PACK_BUDGET = 512
 _PACK_BLOCKS = 64
 
@@ -1018,9 +1024,12 @@ _PACK_BLOCKS = 64
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from pdf_extractor_spark.core.bpe import load_merges
+    from pdf_extractor_spark.shipping import ensure_workers
+
+    ensure_workers(spark)
     d = load(spark, sf_dir, "documents")
-    tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)) \
-        .cast("bigint")
+    tok = bpe_token_udf(load_merges())(F.col("text"))
     block = (
         F.conv(F.substring(F.md5(F.concat(F.lit("pack|"),
                                           F.col("doc_id").cast("string"))),
@@ -1047,11 +1056,13 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_SQL = f"""
 WITH b AS (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 4))
+  SELECT d.doc_id, d.source,
+         CAST(('0x' || substr(md5('pack|' || d.doc_id::VARCHAR), 1, 4))
               AS BIGINT) % {_PACK_BLOCKS} AS block,
-         len(regexp_extract_all(text, '{_BPE_ISH}'))::BIGINT AS bpe_tokens
-  FROM documents
+         t.n_tokens::BIGINT AS bpe_tokens
+  FROM documents d
+  JOIN read_parquet('/root/repo/expected/bpe_encode.parquet') t
+    ON t.doc_id = d.doc_id
 ), w AS (
   SELECT doc_id, source, block, bpe_tokens,
          sum(bpe_tokens) OVER (
@@ -1368,9 +1379,17 @@ QUERIES: list[Q] = [
     Q("source_mix_sample", _source_mix_sample, _SOURCE_MIX_SQL,
       "weighted source-mixture sampling: per-source rates, md5-keyed "
       "deterministic selection, single narrow pass"),
-    Q("pack_sequences", _pack_sequences, _PACK_SQL,
-      "token-budget sequence packing: cumulative BPE-ish token windows "
-      "per (source, md5-block) shard"),
+    # sf_pin: the oracle's per-doc token counts are the mirror encoder's
+    # checked-in sf0.01 parquet (the bpe_encode discipline), so the
+    # query reads that pin itself; _pack_sequences stays importable for
+    # bench/jobs, which honor real sf dirs.
+    Q("pack_sequences",
+      lambda spark, _sf: _pack_sequences(spark, _BPE_PINNED_SF),
+      _PACK_SQL,
+      "token-budget sequence packing: cumulative learned-merges BPE "
+      "token windows per (source, md5-block) shard; oracle joins the "
+      "mirror encoder's counts and restates the window in DuckDB",
+      sf_pin=_BPE_PINNED_SF),
     Q("pii_redact", _pii_redact, _PII_SQL,
       "regex PII redaction (email/IPv4/phone) + match counts; pure "
       "JVM expression chain in the Java-regex ∩ RE2 common subset"),

@@ -136,6 +136,50 @@ def gen_extract_audit(spans: list[dict]) -> pa.Table:
     })
 
 
+def gen_audit_consistency(spans: list[dict]) -> pa.Table:
+    """Mirror of the resumable sink's per-bucket audit invariant
+    (queries/extraction.py _audit_consistency): buckets the oracle spans
+    itself with zlib.crc32(conv_id) % 32 (restating job/sink.py's
+    crc32 bucketing independently), recomputes every audited metric, and
+    expects ``consistent`` true everywhere — the engine side derives
+    that flag by comparing its audit rows to a recount of its committed
+    files, so either a sink bookkeeping bug or an extraction drift
+    breaks the hash."""
+    import zlib
+
+    n_buckets, n_batches = 32, 4
+    per: dict[int, list[dict]] = {}
+    for s in spans:
+        b = zlib.crc32(s["conv_id"].encode("utf-8")) % n_buckets
+        per.setdefault(b, []).append(s)
+    rows = []
+    for b in sorted(per):
+        ss = per[b]
+        rows.append({
+            "bucket": b,
+            "batch": b % n_batches,
+            "n_convs": len({s["conv_id"] for s in ss}),
+            "n_spans": len(ss),
+            "n_fragments": sum(s["n_fragments"] for s in ss),
+            "n_referenced": sum(1 for s in ss if s["had_reference"]),
+            "content_checksum": _xor_checksum_mirror(
+                (s["conv_id"], s["span_id"], s["text"]) for s in ss
+            ),
+            "consistent": True,
+        })
+    df = pd.DataFrame(rows)
+    return pa.Table.from_pydict({
+        "bucket": pa.array(df["bucket"], pa.int32()),
+        "batch": pa.array(df["batch"], pa.int32()),
+        "n_convs": pa.array(df["n_convs"], pa.int64()),
+        "n_spans": pa.array(df["n_spans"], pa.int64()),
+        "n_fragments": pa.array(df["n_fragments"], pa.int64()),
+        "n_referenced": pa.array(df["n_referenced"], pa.int64()),
+        "content_checksum": pa.array(df["content_checksum"], pa.int64()),
+        "consistent": pa.array(df["consistent"], pa.bool_()),
+    })
+
+
 # ------------------------------------------------------------ evaluation
 
 def eval_rows(spans: list[dict]) -> list[dict]:
@@ -284,7 +328,6 @@ def gen_ann_ivf(emb_path: str) -> pa.Table:
     embs = t.column("embedding").to_pylist()  # float32 → Python float64
     by_id = dict(zip(vec_ids, embs))
 
-    n_probe, n_queries, top_k = 2, 5, 5
     # fitted coarse quantizer — the independent mirror restatement of
     # core/kmeans.py's sampled-Lloyd spec (bit-equality pinned by
     # tests/test_kmeans.py)
@@ -292,7 +335,30 @@ def gen_ann_ivf(emb_path: str) -> pa.Table:
         (j, list(c))
         for j, c in enumerate(fit_centroids_from_parquet(emb_path))
     ]
+    return _ivf_search_table(by_id, cents)
 
+
+def gen_ann_ivf_scaled(emb_path: str) -> pa.Table:
+    """ann_ivf over the mirror's independently-restated 5×-expanded
+    corpus with the corpus-scaled K (= 20 at the sf0.01 pin — above the
+    floor, the whole point of the query)."""
+    from pdf_extractor_spark.oracle_mirror.ivf import (
+        expanded_pairs_from_parquet,
+        fit_centroids_expanded,
+    )
+
+    by_id = {vid: list(vec)
+             for vid, vec in expanded_pairs_from_parquet(emb_path)}
+    cents = [
+        (j, list(c))
+        for j, c in enumerate(fit_centroids_expanded(emb_path))
+    ]
+    assert len(cents) > 16, "expanded corpus must fit above the K floor"
+    return _ivf_search_table(by_id, cents)
+
+
+def _ivf_search_table(by_id: dict, cents: list) -> pa.Table:
+    n_probe, n_queries, top_k = 2, 5, 5
     # nearest-centroid assignment (ties → min cell_id)
     cell_of: dict[int, int] = {}
     for vid, emb in by_id.items():
@@ -370,9 +436,11 @@ def main() -> None:
     outputs = {
         "extract_spans": gen_extract_spans(spans),
         "extract_audit": gen_extract_audit(spans),
+        "audit_consistency": gen_audit_consistency(spans),
         "evaluate_spans": gen_evaluate_spans(rows),
         "evaluate_summary": gen_evaluate_summary(rows),
         "ann_ivf": gen_ann_ivf(SF01_EMB),
+        "ann_ivf_scaled": gen_ann_ivf_scaled(SF01_EMB),
         "bpe_encode": gen_bpe_encode(SF01_DOCS),
     }
     for name, table in outputs.items():

@@ -310,7 +310,8 @@ def test_dedup_semantic_keep_rule_without_window(spark):
     plan = _formatted_plan(spark, "dedup_semantic")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 4  # min_cs and keep_id, partial+final
+    # r5: the keep rule fused to ONE struct-min agg (partial+final)
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_asof_join_is_union_window_not_range_join(spark):

@@ -249,3 +249,40 @@ def test_semantic_dedup_groups_and_keep_rule(spark):
         assert len({m.cell_id for m in members}) == 1
         # group label is the min member id (cc canonical representative)
         assert gid == min(m.vec_id for m in members)
+
+
+def test_expanded_corpus_and_scaled_fit_match_mirror_bitwise(spark):
+    """The SPARK-side 5× expansion (reverse / rotations / alternate
+    negation built from JVM array expressions) must reproduce the
+    mirror's pure-Python expansion bit-for-bit, and the engine fit on it
+    must land ABOVE the K floor and equal the mirror's expanded fit —
+    the end-to-end guarantee behind ann_ivf_scaled's expected parquet."""
+    from pdf_extractor_spark.core import kmeans
+    from pdf_extractor_spark.oracle_mirror.ivf import (
+        expanded_pairs_from_parquet,
+        fit_centroids_expanded,
+    )
+    from pdf_extractor_spark.queries.similarity import (
+        _expanded_corpus,
+        _scaled_centroids,
+    )
+
+    pin = "/root/testdata/sf0.01"
+    got = {
+        r.vec_id: tuple(float(x) for x in r.embedding)
+        for r in _expanded_corpus(spark, pin).collect()
+    }
+    want = {
+        vid: tuple(float(x) for x in vec)
+        for vid, vec in expanded_pairs_from_parquet(
+            pin + "/embeddings.parquet"
+        )
+    }
+    assert got == want, "expanded corpora differ"
+    assert kmeans.n_centroids(len(got)) == 20  # above the 16 floor
+
+    prod = _scaled_centroids(spark, pin)
+    mirror = fit_centroids_expanded(pin + "/embeddings.parquet")
+    assert len(prod) == len(mirror) == 20
+    for p, m in zip(prod, mirror):
+        assert tuple(p) == tuple(m), "scaled fits diverge"
