@@ -60,6 +60,7 @@ HEADLINE = [
     "vocab_topk",           # heavy hitters via TakeOrderedAndProject
     "cosine_topk",          # brute-force ANN baseline
     "ann_ivf",              # IVF ANN scale path
+    "ann_ivf_pq",           # IVF-PQ compressed ANN (ADC lookup scoring)
     "multimodal_decode",    # Arrow-batch decode plumbing
     "bpe_encode",           # learned-merges BPE (Arrow batch + memo)
     "asof_join",            # tagged-union forward-fill AS-OF join

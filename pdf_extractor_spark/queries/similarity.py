@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.core import kmeans
+from pdf_extractor_spark.core import pq as pqspec
 from pdf_extractor_spark.queries.base import (
     Q,
     evict_stale_session_entries,
@@ -412,6 +413,165 @@ def _ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- IVF-PQ (compressed ANN)
+
+_PQ_FIT_CACHE: dict = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Product-quantizer codebooks (core/pq.py spec): the same
+    hash-ordered TakeOrdered sample rule as the coarse-quantizer fit —
+    256 rows to the driver at ANY corpus size — then a deterministic
+    per-subspace Lloyd fit.  Cached per (app, sf_dir) like the centroid
+    fit; the codebooks land in the query plan as literal matrices."""
+    evict_stale_session_entries(_PQ_FIT_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_FIT_CACHE:
+        e = load(spark, sf_dir, "embeddings")
+        sample = (
+            e.select(
+                "vec_id", "embedding",
+                F.md5(F.col("vec_id").cast("string")).alias("hk"),
+            )
+            .orderBy("hk", "vec_id")
+            .limit(pqspec.N_PQ_SAMPLE)
+            .collect()
+        )
+        _PQ_FIT_CACHE[key] = pqspec.fit_codebooks(
+            [(r.vec_id, [float(x) for x in r.embedding]) for r in sample]
+        )
+    return _PQ_FIT_CACHE[key]
+
+
+def _sq_l2_fold(a, b) -> Column:
+    """Ascending-index left fold Σ(a[i]−b[i])² — the PQ spec's distance
+    (identical IEEE op sequence to core/pq._sq_l2 / the mirror's _d2;
+    (x−y)² and (y−x)² are bit-equal, so operand order is free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit_over(emb_col, norm_col) -> Column:
+    """float64 unit vector given a precomputed norm column (the norm is
+    materialized once per row in a prior projection so the fold isn't
+    re-evaluated per element inside the transform lambda)."""
+    return F.transform(_dvec(emb_col), lambda x: x / norm_col)
+
+
+def _pq_code_exprs(unit, cb_lits: list[Column], dsub: int) -> list[Column]:
+    """Per-subspace nearest-code index (spec step 5) as narrow literal
+    expressions: argmin over the KS codebook entries via array_min on
+    (distance, code) structs — lexicographic min keeps the LOWEST code
+    on a tie, exactly the mirror's strict-< scan."""
+    def _scorer(sub):
+        # a real closure, not a default-arg capture: PySpark derives the
+        # higher-order-function arity from the lambda's parameter count
+        return lambda c, j: F.struct(
+            _sq_l2_fold(sub, c).alias("d"), j.alias("code")
+        )
+
+    out = []
+    for m, cb in enumerate(cb_lits):
+        sub = F.slice(unit, m * dsub + 1, dsub)
+        out.append(F.array_min(F.transform(cb, _scorer(sub)))["code"])
+    return out
+
+
+def _adc_expr(qn, codes_col, cb_lits: list[Column], dsub: int) -> Column:
+    """ADC distance (spec step 6): left-associated sum over subspaces of
+    the squared-L2 between the exact query subvector and the candidate's
+    decoded codebook entry — M element_at lookups + M folds per pair, no
+    dim-wide work on the candidate side."""
+    acc = None
+    for m, cb in enumerate(cb_lits):
+        qsub = F.slice(qn, m * dsub + 1, dsub)
+        entry = F.element_at(cb, F.element_at(codes_col, m + 1) + 1)
+        term = _sq_l2_fold(qsub, entry)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the memory-scale ANN path (FAISS ``IVF,PQ8`` shape).
+
+    ann_ivf bounds how many candidates a probe touches; PQ bounds what
+    each candidate COSTS: the index stores M=8 one-byte codes per vector
+    instead of the 256-byte raw embedding (32× smaller — 100 TB of fp32
+    embeddings compress to ~3 TB of codes), and scoring is 8 lookup-adds
+    per candidate instead of a 64-wide cosine.  Vectors are L2-normalized
+    before encoding, so ascending approximate squared-L2 ranks identically
+    to descending approximate cosine (‖q−v‖² = 2−2·cos on unit vectors).
+
+    Plan shape: both fits are bounded driver-side samples broadcast as
+    literals; cell assignment, PQ encode, and the query probe are narrow
+    per-row expressions; the ONLY shuffle is the cell_id-keyed
+    probe-candidate join (same as ann_ivf); ADC scoring and the per-query
+    top-k window run on the ~n_probe·128-candidate result.  Oracle =
+    checked-in expected parquet from the INDEPENDENT mirror fit + encode
+    + search (oracle_mirror/pq.py + scripts/gen_expected.py);
+    tests/test_pq.py pins bit-equality of the two PQ fits."""
+    cents = _fitted_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    dsub = len(books[0][0])
+    cb_lits = [
+        F.expr(_sql_double_matrix([[float(x) for x in c] for c in book]))
+        for book in books
+    ]
+
+    e = load(spark, sf_dir, "embeddings")
+
+    # corpus side: narrow cell assignment + narrow PQ encode — the
+    # norm is materialized in its own projection so the unit-vector
+    # transform doesn't re-run the fold per element
+    cells = _assign_cells(
+        e.select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("n_emb")),
+        cents, "n_emb",
+    ).select("n_id", "cell_id", "n_emb",
+             _norm(_dvec(F.col("n_emb"))).alias("nv"))
+    coded = cells.select(
+        "n_id", "cell_id",
+        F.array(*_pq_code_exprs(
+            _unit_over(F.col("n_emb"), F.col("nv")), cb_lits, dsub
+        )).alias("codes"),
+    )
+
+    # query side: probe the top-N_PROBE cells, carry the exact
+    # normalized query vector for ADC
+    probes = _probe_cells(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")),
+        "q_emb", cents, _N_PROBE,
+    ).select("q_id", "cell_id", "q_emb",
+             _norm(_dvec(F.col("q_emb"))).alias("nv"))
+    probes = probes.select(
+        "q_id", "cell_id",
+        _unit_over(F.col("q_emb"), F.col("nv")).alias("qn"),
+    )
+
+    # the one shuffle: candidates from probed cells only
+    cand = probes.join(coded, "cell_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select(
+        "q_id", "n_id", "cell_id",
+        rhu(_adc_expr(F.col("qn"), F.col("codes"), cb_lits, dsub), 4)
+        .alias("adist"),
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.asc("adist"), F.asc("n_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "n_id", "adist", "cell_id")
+    )
+
+
 def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Norm/label profile of the vector corpus — the sanity scan a pipeline
     runs before indexing (JVM-side array math, partial agg)."""
@@ -741,6 +901,13 @@ QUERIES: list[Q] = [
       "5×-expanded exact-transform corpus) — drives the corpus-scaled "
       "fit path through the driver hash gate; oracle is the independent "
       "mirror expansion+fit+search at the pinned sf0.01",
+      sf_pin=_PINNED_SF),
+    Q("ann_ivf_pq", _self_pinned(_ann_ivf_pq),
+      "SELECT * FROM read_parquet('/root/repo/expected/ann_ivf_pq.parquet')",
+      "IVF-PQ compressed ANN (FAISS IVF,PQ8 shape): 8 one-byte codes per "
+      "vector (32× smaller index), ADC lookup scoring inside probed "
+      "cells; oracle is the independent mirror fit+encode+search at the "
+      "pinned sf0.01",
       sf_pin=_PINNED_SF),
     Q("embedding_stats", _embedding_stats, _EMB_STATS_SQL,
       "vector corpus norm/label profile"),
