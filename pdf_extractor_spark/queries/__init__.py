@@ -43,6 +43,7 @@ _BASE: list[Q] = (
 # queries whose engine code or oracle changed in round 5
 _CHANGED_R5 = [
     "ann_ivf_pq",            # new: PQ-compressed IVF search (ADC scoring)
+    "ann_ivf_pq_rerank",     # new: ADC shortlist + exact-cosine refine
     "ann_ivf_scaled",        # new: K>floor quantizer fit
     "audit_consistency",     # new: resumable-sink lineage invariant
     "pack_sequences",        # rewritten on real BPE token counts

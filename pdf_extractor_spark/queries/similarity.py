@@ -572,6 +572,95 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHORTLIST_R = 20
+
+
+def _ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ search: ADC shortlist, then EXACT re-rank — the
+    production FAISS serving pattern (PQ at 8 bytes/vector is a faithful
+    shortlist generator but cannot micro-rank near-identical neighbors;
+    tests/test_pq.py pins exactly that trade).
+
+    Stage 1 scores every probed-cell candidate with the 8-lookup ADC
+    distance and keeps the top ``_SHORTLIST_R`` per query.  Stage 2
+    fetches ONLY those R×n_queries raw vectors — the shortlist is tiny,
+    so the re-fetch is a BROADCAST join against the embeddings scan (no
+    corpus shuffle; at 100 TB the refine stage reads back a few thousand
+    rows, not the index) — and re-ranks them by exact rhu4 cosine.
+
+    Output ranks are exact-cosine ranks over the shortlist; the oracle
+    is the independent mirror's identical two-stage search
+    (scripts/gen_expected.py gen_ann_ivf_pq_rerank)."""
+    cents = _fitted_centroids(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    dsub = len(books[0][0])
+    cb_lits = [
+        F.expr(_sql_double_matrix([[float(x) for x in c] for c in book]))
+        for book in books
+    ]
+
+    e = load(spark, sf_dir, "embeddings")
+
+    cells = _assign_cells(
+        e.select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("n_emb")),
+        cents, "n_emb",
+    ).select("n_id", "cell_id", "n_emb",
+             _norm(_dvec(F.col("n_emb"))).alias("nv"))
+    coded = cells.select(
+        "n_id", "cell_id",
+        F.array(*_pq_code_exprs(
+            _unit_over(F.col("n_emb"), F.col("nv")), cb_lits, dsub
+        )).alias("codes"),
+    )
+
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = _probe_cells(queries, "q_emb", cents, _N_PROBE).select(
+        "q_id", "cell_id",
+        _norm(_dvec(F.col("q_emb"))).alias("nv"), "q_emb",
+    )
+    probes = probes.select(
+        "q_id", "cell_id",
+        _unit_over(F.col("q_emb"), F.col("nv")).alias("qn"),
+    )
+
+    # stage 1: ADC shortlist (top-R per query by approximate distance)
+    cand = probes.join(coded, "cell_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select(
+        "q_id", "n_id",
+        rhu(_adc_expr(F.col("qn"), F.col("codes"), cb_lits, dsub), 4)
+        .alias("adist"),
+    )
+    w_short = Window.partitionBy("q_id").orderBy(
+        F.asc("adist"), F.asc("n_id")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= _SHORTLIST_R)
+        .select("q_id", "n_id")
+    )
+
+    # stage 2: fetch the R×n_queries raw vectors via BROADCAST joins and
+    # re-rank by exact cosine (rhu4, same contract as cosine_topk)
+    fetched = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")
+    ).join(F.broadcast(shortlist), "n_id")
+    pairs = fetched.join(F.broadcast(queries), "q_id")
+    exact = _with_cosine(pairs, "q_emb", "n_emb")
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("n_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "n_id", "score")
+    )
+
+
 def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Norm/label profile of the vector corpus — the sanity scan a pipeline
     runs before indexing (JVM-side array math, partial agg)."""
@@ -908,6 +997,14 @@ QUERIES: list[Q] = [
       "vector (32× smaller index), ADC lookup scoring inside probed "
       "cells; oracle is the independent mirror fit+encode+search at the "
       "pinned sf0.01",
+      sf_pin=_PINNED_SF),
+    Q("ann_ivf_pq_rerank", _self_pinned(_ann_ivf_pq_rerank),
+      "SELECT * FROM read_parquet("
+      "'/root/repo/expected/ann_ivf_pq_rerank.parquet')",
+      "two-stage IVF-PQ search (FAISS refine pattern): ADC shortlist of "
+      "20 per query, then exact rhu4-cosine re-rank over only those raw "
+      "vectors (broadcast refine join, no corpus shuffle); oracle is the "
+      "independent mirror two-stage search at the pinned sf0.01",
       sf_pin=_PINNED_SF),
     Q("embedding_stats", _embedding_stats, _EMB_STATS_SQL,
       "vector corpus norm/label profile"),

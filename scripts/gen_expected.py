@@ -461,6 +461,77 @@ def gen_ann_ivf_pq(emb_path: str) -> pa.Table:
     })
 
 
+def gen_ann_ivf_pq_rerank(emb_path: str) -> pa.Table:
+    """Two-stage IVF-PQ oracle: the mirror ADC search keeps a top-R
+    shortlist per query, then EXACT rhu4 cosine over only those raw
+    vectors picks the final top-k — the same FAISS refine pattern the
+    engine query implements, restated sequentially with no engine
+    imports."""
+    from pdf_extractor_spark.oracle_mirror.ivf import (
+        fit_centroids_from_parquet,
+    )
+    from pdf_extractor_spark.oracle_mirror.pq import (
+        fit_pq_from_parquet,
+        mirror_adc,
+        mirror_encode,
+    )
+
+    t = pq.read_table(emb_path)
+    by_id = dict(zip(t.column("vec_id").to_pylist(),
+                     t.column("embedding").to_pylist()))
+    cents = [
+        (j, list(c))
+        for j, c in enumerate(fit_centroids_from_parquet(emb_path))
+    ]
+    books = [
+        [list(code) for code in book]
+        for book in fit_pq_from_parquet(emb_path)
+    ]
+
+    n_probe, n_queries, top_k, shortlist_r = 2, 5, 5, 20
+    cell_of = {
+        vid: max(cents, key=lambda c: (_cos(c[1], emb), -c[0]))[0]
+        for vid, emb in by_id.items()
+    }
+    members: dict[int, list[int]] = {}
+    for vid, cell in cell_of.items():
+        members.setdefault(cell, []).append(vid)
+    codes = {vid: mirror_encode(emb, books) for vid, emb in by_id.items()}
+
+    rows = []
+    for q_id in sorted(by_id):
+        if q_id >= n_queries:
+            continue
+        q_emb = by_id[q_id]
+        probes = sorted(
+            cents, key=lambda c: (-_cos(c[1], q_emb), c[0])
+        )[:n_probe]
+        # stage 1: ADC shortlist (top-R by approximate distance)
+        cands = []
+        for cell_id, _ in probes:
+            for n_id in members.get(cell_id, []):
+                if n_id == q_id:
+                    continue
+                adist = rhu_py(mirror_adc(q_emb, codes[n_id], books), 4)
+                cands.append((adist, n_id))
+        cands.sort()
+        shortlist = [n_id for _, n_id in cands[:shortlist_r]]
+        # stage 2: exact rhu4 cosine over the shortlist only
+        reranked = sorted(
+            ((_cos(q_emb, by_id[n_id]), n_id) for n_id in shortlist),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (score, n_id) in enumerate(reranked[:top_k], 1):
+            rows.append({"q_id": q_id, "rank": rank, "n_id": n_id,
+                         "score": score})
+    return pa.Table.from_pydict({
+        "q_id": pa.array([r["q_id"] for r in rows], pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], pa.int32()),
+        "n_id": pa.array([r["n_id"] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+    })
+
+
 SF01_DOCS = "/root/testdata/sf0.01/documents.parquet"
 _BPE_MERGES_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -506,6 +577,7 @@ def main() -> None:
         "ann_ivf": gen_ann_ivf(SF01_EMB),
         "ann_ivf_scaled": gen_ann_ivf_scaled(SF01_EMB),
         "ann_ivf_pq": gen_ann_ivf_pq(SF01_EMB),
+        "ann_ivf_pq_rerank": gen_ann_ivf_pq_rerank(SF01_EMB),
         "bpe_encode": gen_bpe_encode(SF01_DOCS),
     }
     for name, table in outputs.items():
